@@ -1,0 +1,151 @@
+"""Dense bundle adjustment: convergence on synthetic problems.
+
+Oracle: a consistent synthetic scene (poses+depths) reprojected to give
+perfect flow targets; GN from a perturbed initialization must recover the
+ground truth (the reference validates only end-to-end; this is stronger).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from goslam_tpu.ops import dba, lie, projective
+
+HT, WD = 8, 12
+INTR = jnp.asarray([6.0, 6.0, WD / 2 - 0.5, HT / 2 - 0.5], jnp.float32)
+P = 4
+
+
+def make_gt(rng):
+    poses = [lie.identity()]
+    for _ in range(P - 1):
+        xi = rng.normal(size=6).astype(np.float32) * np.asarray(
+            [0.04, 0.04, 0.04, 0.02, 0.02, 0.02], np.float32)
+        poses.append(lie.compose(lie.exp(jnp.asarray(xi)), poses[-1]))
+    poses = jnp.stack(poses)
+    disps = jnp.asarray(
+        0.6 + 0.15 * rng.random((P, HT, WD)).astype(np.float32))
+    return poses, disps
+
+
+def all_edges():
+    ii, jj = np.meshgrid(np.arange(P), np.arange(P), indexing="ij")
+    keep = ii != jj
+    return jnp.asarray(ii[keep]), jnp.asarray(jj[keep])
+
+
+def pose_err(a, b):
+    """Max translation error after aligning to frame 0."""
+    rel_a = lie.rel(jnp.broadcast_to(a[0], a.shape), a)
+    rel_b = lie.rel(jnp.broadcast_to(b[0], b.shape), b)
+    return float(jnp.abs(rel_a[:, :3] - rel_b[:, :3]).max())
+
+
+def perturb(rng, poses, scale):
+    xi = rng.normal(size=(P, 6)).astype(np.float32) * scale
+    xi[0] = 0
+    return lie.compose(lie.exp(jnp.asarray(xi)), poses)
+
+
+def test_motion_only_recovers_poses(rng):
+    gt_poses, gt_disps = make_gt(rng)
+    ii, jj = all_edges()
+    E = ii.shape[0]
+    target, _ = projective.transform(gt_poses, gt_disps, INTR, ii, jj)
+    weight = jnp.ones((E, HT, WD, 2), jnp.float32)
+    eta = jnp.full((P, HT, WD), 1e-5, jnp.float32)
+
+    poses0 = perturb(rng, gt_poses, 0.02)
+    err0 = pose_err(poses0, gt_poses)
+
+    poses, _ = dba.ba(poses0, gt_disps, INTR, jnp.zeros_like(gt_disps),
+                      target, weight, eta, ii, jj, jnp.ones(E, bool),
+                      t0=1, t1=P, iters=8, lm=1e-5, ep=1e-4,
+                      motion_only=True)
+    err1 = pose_err(poses, gt_poses)
+    assert err1 < 0.05 * err0, (err0, err1)
+
+
+def test_full_ba_recovers_poses_and_depth(rng):
+    gt_poses, gt_disps = make_gt(rng)
+    ii, jj = all_edges()
+    E = ii.shape[0]
+    target, _ = projective.transform(gt_poses, gt_disps, INTR, ii, jj)
+    weight = jnp.ones((E, HT, WD, 2), jnp.float32)
+    eta = jnp.full((P, HT, WD), 1e-4, jnp.float32)
+
+    poses0 = perturb(rng, gt_poses, 0.015)
+    disps0 = gt_disps * jnp.asarray(
+        1.0 + 0.1 * rng.standard_normal((P, HT, WD)).astype(np.float32))
+    # RGB-D prior pins the gauge
+    disps_sens = gt_disps
+
+    err_p0 = pose_err(poses0, gt_poses)
+    err_d0 = float(jnp.abs(disps0 - gt_disps).mean())
+
+    poses, disps = dba.ba(poses0, disps0, INTR, disps_sens, target, weight,
+                          eta, ii, jj, jnp.ones(E, bool), t0=1, t1=P,
+                          iters=10, lm=1e-5, ep=1e-4)
+    err_p1 = pose_err(poses, gt_poses)
+    err_d1 = float(jnp.abs(disps - gt_disps).mean())
+    assert err_p1 < 0.1 * err_p0, (err_p0, err_p1)
+    assert err_d1 < 0.15 * err_d0, (err_d0, err_d1)
+
+
+def test_fixed_pose_stays_fixed(rng):
+    gt_poses, gt_disps = make_gt(rng)
+    ii, jj = all_edges()
+    E = ii.shape[0]
+    target, _ = projective.transform(gt_poses, gt_disps, INTR, ii, jj)
+    target = target + 1.0  # force updates
+    weight = jnp.ones((E, HT, WD, 2), jnp.float32)
+    eta = jnp.full((P, HT, WD), 1e-4, jnp.float32)
+
+    poses, _ = dba.ba(gt_poses, gt_disps, INTR, jnp.zeros_like(gt_disps),
+                      target, weight, eta, ii, jj, jnp.ones(E, bool),
+                      t0=2, t1=P, iters=2)
+    np.testing.assert_allclose(np.asarray(poses[:2]),
+                               np.asarray(gt_poses[:2]), atol=1e-6)
+    assert float(jnp.abs(poses[2:] - gt_poses[2:]).max()) > 1e-5
+
+
+def test_invalid_edges_ignored(rng):
+    gt_poses, gt_disps = make_gt(rng)
+    ii, jj = all_edges()
+    E = ii.shape[0]
+    target, _ = projective.transform(gt_poses, gt_disps, INTR, ii, jj)
+    weight = jnp.ones((E, HT, WD, 2), jnp.float32)
+    eta = jnp.full((P, HT, WD), 1e-4, jnp.float32)
+    poses0 = perturb(rng, gt_poses, 0.02)
+
+    # pad with garbage edges marked invalid
+    pad = 5
+    ii_p = jnp.concatenate([ii, jnp.zeros(pad, ii.dtype)])
+    jj_p = jnp.concatenate([jj, jnp.zeros(pad, jj.dtype)])
+    tg_p = jnp.concatenate(
+        [target, 1e6 * jnp.ones((pad, HT, WD, 2), jnp.float32)])
+    wt_p = jnp.concatenate([weight, jnp.ones((pad, HT, WD, 2), jnp.float32)])
+    valid = jnp.concatenate([jnp.ones(E, bool), jnp.zeros(pad, bool)])
+
+    out_a = dba.ba(poses0, gt_disps, INTR, jnp.zeros_like(gt_disps), target,
+                   weight, eta, ii, jj, jnp.ones(E, bool), t0=1, t1=P,
+                   iters=2)
+    out_b = dba.ba(poses0, gt_disps, INTR, jnp.zeros_like(gt_disps), tg_p,
+                   wt_p, eta, ii_p, jj_p, valid, t0=1, t1=P, iters=2)
+    np.testing.assert_allclose(np.asarray(out_a[0]), np.asarray(out_b[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_a[1]), np.asarray(out_b[1]),
+                               atol=1e-4)
+
+
+def test_zero_weight_is_noop(rng):
+    gt_poses, gt_disps = make_gt(rng)
+    ii, jj = all_edges()
+    E = ii.shape[0]
+    target, _ = projective.transform(gt_poses, gt_disps, INTR, ii, jj)
+    weight = jnp.zeros((E, HT, WD, 2), jnp.float32)
+    eta = jnp.full((P, HT, WD), 1e-4, jnp.float32)
+    poses, disps = dba.ba(gt_poses, gt_disps, INTR,
+                          jnp.zeros_like(gt_disps), target, weight, eta,
+                          ii, jj, jnp.ones(E, bool), t0=1, t1=P, iters=2)
+    np.testing.assert_allclose(np.asarray(poses), np.asarray(gt_poses),
+                               atol=1e-5)
