@@ -139,13 +139,13 @@ def build_edge_system(poses, disps, intrinsics, target, weight, ii, jj,
 
     # weighted normal equations — MXU batched matmuls over hw
     H = (jnp.einsum("eka,ek,ekb->eab", Jx_u, wu_p, Jx_u,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
          + jnp.einsum("eka,ek,ekb->eab", Jx_v, wv_p, Jx_v,
-                      preferred_element_type=jnp.float32))
+                      preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
     vv = (jnp.einsum("eka,ek->ea", Jx_u, wu_p * ru,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
           + jnp.einsum("eka,ek->ea", Jx_v, wv_p * rv,
-                       preferred_element_type=jnp.float32))
+                       preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
 
     Eii_blk = (wu_p * Jz_u)[:, None, :] * jnp.moveaxis(Ju_i, -1, 1) \
         + (wv_p * Jz_v)[:, None, :] * jnp.moveaxis(Jv_i, -1, 1)
@@ -275,18 +275,18 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
             S = jnp.zeros((P, P, 6, 6), jnp.float32)
             # (k, k) from Ei rows
             Skk = jnp.einsum("kah,kh,kbh->kab", Ei, Q, Ei,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
             S = S.at[frames, frames].add(Skk)
             # (k=ii_e, jj_e) cross terms
             Sx = jnp.einsum("eah,eh,ebh->eab", Ei[ii], Q[ii], Eij_m,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
             S = S.at[ii, jj].add(Sx, mode="drop")
             S = S.at[jj, ii].add(jnp.swapaxes(Sx, -1, -2), mode="drop")
             # (jj_e1, jj_e2) same-source pairs via the degree-capped table
             G = Eij_m[tbl_idx] * tbl_ok[..., None, None]          # [P,D,6,hw]
             GQ = G * Q[:, None, None, :]
             Spp = jnp.einsum("kdah,kebh->kdaeb", GQ, G,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
             pj = jj[tbl_idx]                                      # [P, D]
             rows = jnp.broadcast_to(pj[:, :, None], Spp.shape[:2] + (Spp.shape[3],))
             cols = jnp.broadcast_to(pj[:, None, :], rows.shape)
@@ -297,9 +297,9 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
 
             # rhs reduction v - E Q w
             bs = jnp.einsum("kah,kh,kh->ka", Ei, Q, w_rhs,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
             bx = jnp.einsum("eah,eh,eh->ea", Eij_m, Q[ii], w_rhs[ii],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
             b_schur = bs + jnp.zeros((P, 6), jnp.float32).at[jj].add(
                 bx, mode="drop")
 
@@ -324,9 +324,9 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
 
         # ---- depth back-substitution dz = Q (w - E^T dx) ------------------
         dw = jnp.einsum("kah,ka->kh", Ei, dx,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         dwe = jnp.einsum("eah,ea->eh", Eij_m, dx[jj],
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         dw = dw + jnp.zeros((P, hw), jnp.float32).at[ii].add(dwe, mode="drop")
         dz = Q * (w_rhs - dw)
         disps = jnp.maximum(disps + dz.reshape(P, ht, wd), DISP_MIN)

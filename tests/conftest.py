@@ -1,16 +1,38 @@
-"""Test config: run everything on a virtual 8-device CPU mesh.
+"""Test config.
 
-Must set env before the first jax import anywhere in the test process.
+Tests run on the real TPU when present (compiles there are ~20x faster
+than on this machine's single CPU core).  Multi-device sharding tests need
+the virtual CPU mesh: run those with
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python -m pytest tests/test_parallel.py
+
+They skip themselves when fewer than 2 devices are visible.  (The driver
+separately validates the multi-chip path via __graft_entry__.dryrun_multichip
+on a virtual CPU mesh.)
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# effective only when JAX_PLATFORMS=cpu is set by the caller
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# persistent compile cache — compiles on this box are slow (1 CPU core,
+# tunneled TPU); cache them across test runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# exact fp32 conv/matmul so golden-parity tests compare real numbers.
+# (env vars are too late here: the axon site hook preloads jax at
+# interpreter start, so config must be set via the API.)
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
