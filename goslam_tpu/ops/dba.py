@@ -217,6 +217,7 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
     lm = jnp.asarray(lm, jnp.float32)
     ep = jnp.asarray(ep, jnp.float32)
 
+    P6 = P * 6
     frames = jnp.arange(P)
     pose_mask = (frames >= t0) & (frames < t1)                    # [P]
     kx_mask = pose_mask | (
@@ -227,30 +228,40 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
     tbl_ok = table >= 0
     tbl_idx = jnp.maximum(table, 0)
 
+    ar6 = jnp.arange(6)
+
+    def br(idx):
+        """Block-row indices: [...,] frame ids -> [..., 6, 1] matrix rows."""
+        return (idx[..., None] * 6 + ar6)[..., :, None]
+
+    def bc(idx):
+        return (idx[..., None] * 6 + ar6)[..., None, :]
+
     def step(_, state):
         poses, disps = state
         sys = build_edge_system(poses, disps, intrinsics, target, weight,
                                 ii, jj, valid)
 
-        # ---- pose-pose block A [P, P, 6, 6] ------------------------------
+        # ---- reduced system assembled directly as [P*6, P*6] -------------
+        # (a [P,P,6,6] block layout transposes into a pathologically padded
+        # [6,6,P^2] form on TPU — assemble 2D from the start)
         gi = pose_mask[ii].astype(jnp.float32)
         gj = pose_mask[jj].astype(jnp.float32)
-        A = jnp.zeros((P, P, 6, 6), jnp.float32)
-        Hii = sys.H[:, :6, :6] * gi[:, None, None]
-        Hij = sys.H[:, :6, 6:] * (gi * gj)[:, None, None]
-        Hji = sys.H[:, 6:, :6] * (gj * gi)[:, None, None]
-        Hjj = sys.H[:, 6:, 6:] * gj[:, None, None]
-        A = A.at[ii, ii].add(Hii, mode="drop")
-        A = A.at[ii, jj].add(Hij, mode="drop")
-        A = A.at[jj, ii].add(Hji, mode="drop")
-        A = A.at[jj, jj].add(Hjj, mode="drop")
+        L = jnp.zeros((P6, P6), jnp.float32)
+        L = L.at[br(ii), bc(ii)].add(
+            sys.H[:, :6, :6] * gi[:, None, None], mode="drop")
+        L = L.at[br(ii), bc(jj)].add(
+            sys.H[:, :6, 6:] * (gi * gj)[:, None, None], mode="drop")
+        L = L.at[br(jj), bc(ii)].add(
+            sys.H[:, 6:, :6] * (gj * gi)[:, None, None], mode="drop")
+        L = L.at[br(jj), bc(jj)].add(
+            sys.H[:, 6:, 6:] * gj[:, None, None], mode="drop")
 
         b = jnp.zeros((P, 6), jnp.float32)
         b = b.at[ii].add(sys.v[:, :6] * gi[:, None], mode="drop")
         b = b.at[jj].add(sys.v[:, 6:] * gj[:, None], mode="drop")
 
         if motion_only:
-            L = A
             rhs = b
         else:
             disps_flat = disps.reshape(P, hw)
@@ -271,46 +282,46 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
                 sys.Eii, mode="drop") * pm_f[:, None, None]
             Eij_m = sys.Eij * gj[:, None, None]                   # [E, 6, hw]
 
-            # ---- Schur complement S = E Q E^T ----------------------------
-            S = jnp.zeros((P, P, 6, 6), jnp.float32)
+            # ---- Schur complement: subtract E Q E^T straight into L ------
             # (k, k) from Ei rows
             Skk = jnp.einsum("kah,kh,kbh->kab", Ei, Q, Ei,
-                             preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-            S = S.at[frames, frames].add(Skk)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            L = L.at[br(frames), bc(frames)].add(-Skk, mode="drop")
             # (k=ii_e, jj_e) cross terms
             Sx = jnp.einsum("eah,eh,ebh->eab", Ei[ii], Q[ii], Eij_m,
-                            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-            S = S.at[ii, jj].add(Sx, mode="drop")
-            S = S.at[jj, ii].add(jnp.swapaxes(Sx, -1, -2), mode="drop")
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            L = L.at[br(ii), bc(jj)].add(-Sx, mode="drop")
+            L = L.at[br(jj), bc(ii)].add(-jnp.swapaxes(Sx, -1, -2),
+                                         mode="drop")
             # (jj_e1, jj_e2) same-source pairs via the degree-capped table
             G = Eij_m[tbl_idx] * tbl_ok[..., None, None]          # [P,D,6,hw]
             GQ = G * Q[:, None, None, :]
-            Spp = jnp.einsum("kdah,kebh->kdaeb", GQ, G,
-                             preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            Spp = jnp.einsum("kdah,kebh->kdeab", GQ, G,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
             pj = jj[tbl_idx]                                      # [P, D]
-            rows = jnp.broadcast_to(pj[:, :, None], Spp.shape[:2] + (Spp.shape[3],))
-            cols = jnp.broadcast_to(pj[:, None, :], rows.shape)
-            okrc = tbl_ok[:, :, None] & tbl_ok[:, None, :]
-            S = S.at[
-                jnp.where(okrc, rows, P), jnp.where(okrc, cols, P)
-            ].add(jnp.swapaxes(Spp, 2, 3) * okrc[..., None, None], mode="drop")
+            okrc = (tbl_ok[:, :, None] & tbl_ok[:, None, :])      # [P, D, D]
+            rows = (pj[:, :, None, None] * 6 + ar6)[..., :, None]  # [P,D,1,6,1]
+            cols = (pj[:, None, :, None] * 6 + ar6)[..., None, :]  # [P,1,D,1,6]
+            L = L.at[rows, cols].add(
+                -Spp * okrc[..., None, None], mode="drop")
 
             # rhs reduction v - E Q w
             bs = jnp.einsum("kah,kh,kh->ka", Ei, Q, w_rhs,
-                            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
             bx = jnp.einsum("eah,eh,eh->ea", Eij_m, Q[ii], w_rhs[ii],
-                            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-            b_schur = bs + jnp.zeros((P, 6), jnp.float32).at[jj].add(
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            rhs = b - bs - jnp.zeros((P, 6), jnp.float32).at[jj].add(
                 bx, mode="drop")
 
-            L = A - S
-            rhs = b - b_schur
-
         # ---- damped solve over free poses --------------------------------
-        Lf = L.transpose(0, 2, 1, 3).reshape(P * 6, P * 6)
-        rf = rhs.reshape(P * 6)
+        rf = rhs.reshape(P6)
         pm6 = jnp.repeat(pm_f, 6)
-        Lf = Lf * pm6[:, None] * pm6[None, :]
+        Lf = L * pm6[:, None] * pm6[None, :]
         diag = jnp.diagonal(Lf)
         Lf = Lf + jnp.diag((ep + lm * diag) * pm6 + (1.0 - pm6))
         rf = rf * pm6

@@ -320,8 +320,15 @@ class FactorGraph:
         P = bucket(t1 - base)
         base = max(0, min(base, self.video.buffer - P))
 
+        ii_all = self.ii[self.valid]
+        if inac_ok.any():
+            ii_all = np.concatenate([ii_all, self.ii_inac[inac_ok]])
+        deg = int(np.bincount(ii_all, minlength=1).max()) if len(ii_all) \
+            else 1
+        max_deg = bucket(deg, (4, 8, 12, 16, 24, 32, 48, 64, 96, 128))
+
         out = _update_kernel(
-            P, self.cap, self.cap_inac, self.upsample,
+            P, self.cap, self.cap_inac, self.upsample, max_deg,
             self.params,
             self.video.poses, self.video.disps, self.video.disps_sens,
             self.video.damping, self.video.disps_up, self.video.intrinsics,
@@ -380,9 +387,13 @@ class FactorGraph:
         jj_r = self.jj * rig + (self.ii == self.jj).astype(np.int32) \
             if self.video.stereo else self.jj
         nchunks = (self.cap + self.chunk - 1) // self.chunk
+        ii_all = self.ii[self.valid]
+        deg = int(np.bincount(ii_all, minlength=1).max()) if len(ii_all) \
+            else 1
+        max_deg = bucket(deg, (4, 8, 12, 16, 24, 32, 48, 64, 96, 128))
 
         out = _lowmem_kernel(
-            P, self.cap, self.chunk, nchunks,
+            P, self.cap, self.chunk, nchunks, max_deg,
             self.params,
             self.video.poses, self.video.disps, self.video.disps_sens,
             self.video.damping, self.video.intrinsics, self.video.inps,
@@ -438,8 +449,8 @@ def _motion_features(coords1, target, h8, w8):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "P", "cap", "cap_inac", "upsample", "iters", "motion_only"))
-def _update_kernel(P, cap, cap_inac, upsample, params,
+    "P", "cap", "cap_inac", "upsample", "max_deg", "iters", "motion_only"))
+def _update_kernel(P, cap, cap_inac, upsample, max_deg, params,
                    poses, disps, disps_sens, damping, disps_up, intrinsics,
                    inps_v,
                    net, target, weight, pyramid,
@@ -498,7 +509,7 @@ def _update_kernel(P, cap, cap_inac, upsample, params,
     poses_w, disps_w = dba.ba(
         poses_w, disps_w, intrinsics, sens_w, tg_ba, wt_ba, eta_ba,
         ii_ba, jj_ba, ok_ba, t0 - base, t1 - base, iters=iters, lm=lm,
-        ep=ep, motion_only=motion_only)
+        ep=ep, motion_only=motion_only, max_deg=max_deg)
 
     poses = jax.lax.dynamic_update_slice(poses, poses_w, (base, 0))
     disps = jax.lax.dynamic_update_slice(disps, disps_w, (base, 0, 0))
@@ -514,8 +525,8 @@ def _update_kernel(P, cap, cap_inac, upsample, params,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "P", "cap", "chunk", "nchunks", "iters", "motion_only"))
-def _lowmem_kernel(P, cap, chunk, nchunks, params,
+    "P", "cap", "chunk", "nchunks", "max_deg", "iters", "motion_only"))
+def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, params,
                    poses, disps, disps_sens, damping, intrinsics, inps_v,
                    fmaps, net, target, weight,
                    ii, jj, ii_r, jj_r, valid,
@@ -585,7 +596,7 @@ def _lowmem_kernel(P, cap, chunk, nchunks, params,
     poses_w, disps_w = dba.ba(
         poses_w, disps_w, intrinsics, sens_w, target, weight, eta_ba,
         ii_local, jj_local, valid, t0 - base, t1 - base, iters=iters,
-        lm=lm, ep=ep, motion_only=motion_only)
+        lm=lm, ep=ep, motion_only=motion_only, max_deg=max_deg)
 
     poses = jax.lax.dynamic_update_slice(poses, poses_w, (base, 0))
     disps = jax.lax.dynamic_update_slice(disps, disps_w, (base, 0, 0))
