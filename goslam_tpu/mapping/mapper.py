@@ -1,0 +1,249 @@
+"""Mapper — online training loop for the InstantNeuS scene model.
+
+Re-design of /root/reference/src/mapping.py: keyframe scheduling (unvisited
+keyframes get a x10 burst; revisits pick the 2 newest + top-10 by update
+priority + stratified random to the window size), masked ray sampling,
+AdamW with separate net/grid learning rates and global-norm clip 35, and
+the loss stack: L1 color x2, uncertainty-weighted L1 depth, truncation
+SDF + free-space x2, eikonal x0.1.
+
+The whole optimization step (sample z, render, losses, grads, AdamW) is
+one jitted function over a static ray-batch size.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils.shapes import bucket
+from .instant_neus import InstantNeuS, compute_sdf_losses
+from .renderer import build_ray_dirs, render_rays
+
+
+def make_optimizer(net_lr=1e-3, grid_lr=1e-2, clip=35.0):
+    """AdamW, two lr groups: hash table at grid_lr, rest at net_lr
+    (mapping.py:55-58), with global-norm clipping (mapping.py:135)."""
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "grid"
+            if any(getattr(k, "key", None) == "table" for k in path)
+            else "net",
+            params)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.multi_transform(
+            {"net": optax.adamw(net_lr, b1=0.9, b2=0.999, eps=1e-8,
+                                weight_decay=0.01),
+             "grid": optax.adamw(grid_lr, b1=0.9, b2=0.999, eps=1e-8,
+                                 weight_decay=0.01)},
+            label_fn),
+    )
+    return tx
+
+
+class Mapper:
+    def __init__(self, video, cfg: dict, params=None, seed: int = 0):
+        m = cfg["mapping"]
+        self.video = video
+        self.cfg = cfg
+        self.w_color = m["w_color_loss"]
+        self.w_sdf = m["w_sdf_loss"]
+        self.w_eik = m["w_eikonal_loss"]
+        self.uncertainty = m["uncertainty_weight_loss"]
+        self.window = m["mapping_window_size"]
+        self.pixels = m["pixels"]
+        self.iters = m["iters"]
+        self.decay = m["decay"]
+
+        mm = m["model"]
+        self.model = InstantNeuS(
+            d_out=mm["sdf_network"]["d_out"],
+            d_hidden=mm["color_network"]["d_hidden"],
+            n_layers=mm["color_network"]["n_layers"],
+            init_val=mm["variance_network"]["init_val"],
+            scale_factor=mm["variance_network"]["scale_factor"],
+            sdf_truncation=mm["sdf_truncation"],
+            sdf_sparse_factor=mm["sdf_sparse_factor"],
+        )
+        self.truncation = mm["sdf_truncation"]
+        self.sparse_factor = mm["sdf_sparse_factor"]
+
+        r = cfg["rendering"]
+        self.n_samples = r["N_samples"]
+        self.n_surface = r["N_surface"]
+        self.perturb = r["perturb"]
+
+        self.key = jax.random.PRNGKey(seed)
+        if params is None:
+            k, self.key = jax.random.split(self.key)
+            dummy = jnp.zeros((4, 3))
+            zv = jnp.linspace(0.1, 1.0, 8)[None].repeat(4, 0)
+            bound = jnp.asarray([[-1, 1], [-1, 1], [-1, 1]], jnp.float32)
+            params = self.model.init(k, dummy, dummy, zv, zv, bound,
+                                     bound)["params"]
+        self.params = params
+        self.tx = make_optimizer(m["net_lr"], m["grid_lr"])
+        self.opt_state = self.tx.init(self.params)
+
+        self.last_visit = 0
+        self.init = True
+        self.global_step = 0
+        self.np_rng = np.random.default_rng(seed)
+
+        self._train_step = self._build_train_step()
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        model = self.model
+        tx = self.tx
+        w_color, w_sdf, w_eik = self.w_color, self.w_sdf, self.w_eik
+        uncertainty = self.uncertainty
+        trunc, sparse = self.truncation, self.sparse_factor
+        n_samples, n_surface, perturb = (self.n_samples, self.n_surface,
+                                         self.perturb)
+
+        @jax.jit
+        def step(params, opt_state, key, rays_o, rays_d, gt_color, gt_depth,
+                 bound, realtime_bound):
+            def loss_fn(p):
+                ret = render_rays(model, p, key, rays_o, rays_d, gt_depth,
+                                  bound, realtime_bound, n_samples,
+                                  n_surface, perturb)
+                valid = (gt_depth > 0).astype(jnp.float32)
+                nv = jnp.maximum(valid.sum(), 1.0)
+
+                color_l = (jnp.abs(ret["color"] - gt_color).mean(-1)
+                           * valid).sum() / nv
+                uw = 1.0 / jnp.sqrt(
+                    jax.lax.stop_gradient(ret["depth_variance"][:, 0])
+                    + 1e-10)
+                if not uncertainty:
+                    uw = jnp.ones_like(uw)
+                depth_l = (jnp.abs(ret["depth"][:, 0] - gt_depth) * uw
+                           * valid).sum() / nv
+
+                sdf_l, front_l = compute_sdf_losses(
+                    ret["sdf"], ret["z_vals"], gt_depth, trunc, sparse)
+                eik_l = ret["gradient_error"].mean()
+
+                total = (color_l * w_color + depth_l
+                         + (sdf_l + front_l) * w_sdf + eik_l * w_eik)
+                return total, {"color": color_l, "depth": depth_l,
+                               "sdf": sdf_l, "eikonal": eik_l,
+                               "total": total}
+
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        return step
+
+    # ------------------------------------------------------------------
+    def _sample_rays(self, frames: list, n_per_frame: int):
+        """Masked pixel sampling over the given keyframes (host RNG +
+        device gathers); returns stacked ray batch arrays."""
+        video = self.video
+        H, W = video.ht, video.wd
+        fx, fy, cx, cy = np.asarray(video.intrinsics) * video.device_scale
+        dirs_cam = build_ray_dirs(H, W, fx, fy, cx, cy)
+
+        ro, rd, gc, gd = [], [], [], []
+        for f in frames:
+            image, depth, c2w, _, mask = video.get_mapping_item(
+                f, decay=self.decay)
+            m = np.array(mask) > 0
+            ys, xs = np.nonzero(m)
+            if len(ys) == 0:
+                continue
+            sel = self.np_rng.integers(0, len(ys), n_per_frame)
+            py = jnp.asarray(ys[sel])
+            px = jnp.asarray(xs[sel])
+            d = dirs_cam[py, px]
+            rdir = d @ c2w[:3, :3].T
+            ro.append(jnp.broadcast_to(c2w[:3, 3], rdir.shape))
+            rd.append(rdir)
+            gc.append(image[py, px])
+            gd.append(depth[py, px])
+        if not ro:
+            return None
+        return (jnp.concatenate(ro), jnp.concatenate(rd),
+                jnp.concatenate(gc), jnp.concatenate(gd))
+
+    def _optimize(self, batch, bound, realtime_bound, iters: int):
+        rays_o, rays_d, gt_color, gt_depth = batch
+        # pad ray count to a bucket so the train step compiles once
+        R = rays_o.shape[0]
+        Rb = bucket(R)
+        if Rb != R:
+            pad = Rb - R
+            rays_o = jnp.concatenate([rays_o, rays_o[:pad]])
+            rays_d = jnp.concatenate([rays_d, rays_d[:pad]])
+            gt_color = jnp.concatenate([gt_color, gt_color[:pad]])
+            gt_depth = jnp.concatenate(
+                [gt_depth, jnp.zeros(pad, gt_depth.dtype)])
+
+        metrics = None
+        for _ in range(iters):
+            self.global_step += 1
+            self.key, k = jax.random.split(self.key)
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, k, rays_o, rays_d, gt_color,
+                gt_depth, bound, realtime_bound)
+        return metrics
+
+    # ------------------------------------------------------------------
+    def __call__(self, the_end: bool = False):
+        """One mapping round (mapping.py:151-301)."""
+        video = self.video
+        cur = video.filtered_id
+        if cur <= 1:
+            return None
+
+        iters = self.iters * (10 if the_end else 1)
+        bound = jnp.asarray(video.bound, jnp.float32)
+        realtime_bound = bound
+
+        unvisit = list(range(self.last_visit, cur))
+        visit = [cur - 1, cur - 2]
+        if self.last_visit > 0:
+            prio = video.update_priority[:self.last_visit]
+            order = np.argsort(-prio)
+            visit += order[:10].tolist()
+            n_rand = max(self.window - 12, 0)
+            if n_rand and self.last_visit > 1:
+                visit += self.np_rng.integers(
+                    0, self.last_visit, n_rand).tolist()
+        visit = [int(v) for v in visit if 0 <= v < cur]
+
+        metrics = None
+        # unvisited burst (x10 at init / per new frames)
+        if len(unvisit) > 2:
+            self.last_visit = cur
+            factor = iters * 10 if self.init else iters
+            n_per = max(self.pixels // min(len(unvisit), self.window), 1)
+            for _ in range(factor):
+                sub = self.np_rng.choice(
+                    unvisit, min(self.window, len(unvisit)), replace=True)
+                batch = self._sample_rays([int(s) for s in sub], n_per)
+                if batch is None or batch[0].shape[0] < 100:
+                    continue
+                metrics = self._optimize(batch, bound, realtime_bound, 1)
+
+        # revisit window
+        n_per = max(self.pixels // max(len(visit), 1), 1)
+        for _ in range(iters):
+            batch = self._sample_rays(visit, n_per)
+            if batch is None or batch[0].shape[0] < 100:
+                continue
+            metrics = self._optimize(batch, bound, realtime_bound, 1)
+
+        self.init = False
+        return metrics

@@ -1,0 +1,87 @@
+"""Ray sampling + batched rendering (re-design of /root/reference/src/render.py).
+
+Sampling protocol matched to the reference:
+  * near = 0.01 * gt_depth (0.01 for depthless rays), far = bbox ray-exit
+    clamped to 1.2 * max gt depth (render.py:104-124)
+  * N_surface samples in a +-10% band around gt depth; rays without depth
+    sample uniformly 0.001 -> max depth (render.py:127-142)
+  * N_samples uniform near->far with stratified perturbation, merged and
+    sorted with the surface samples (render.py:144-171)
+
+Everything is a single jitted function over a static ray-batch size.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_z_vals(key, rays_o, rays_d, gt_depth, bound, n_samples: int,
+                  n_surface: int, perturb: float):
+    """Returns (z_vals [R, n_samples+n_surface], sample_dist [R, 1])."""
+    R = rays_o.shape[0]
+    gt = gt_depth[:, None]
+    near = gt * 0.01 + jnp.where(gt > 0, 0.0, 0.01)
+
+    t = (bound.T[None] - rays_o[:, None, :]) / jnp.where(
+        jnp.abs(rays_d[:, None, :]) < 1e-9, 1e-9, rays_d[:, None, :])
+    far_bb = jnp.max(t, axis=1).min(axis=1, keepdims=True) + 0.01
+    far = jnp.clip(far_bb, 0.0, jnp.maximum((gt_depth * 1.2).max(), 1e-3))
+
+    tv = jnp.linspace(0.0, 1.0, n_samples)[None]
+    z_vals = near + (far - near) * tv
+    sample_dist = (far - near) / n_samples
+
+    if perturb > 0:
+        mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = jnp.concatenate([mid, z_vals[:, -1:]], axis=1)
+        lower = jnp.concatenate([z_vals[:, :1], mid], axis=1)
+        r = jax.random.uniform(key, (n_samples,))
+        z_vals = lower + (upper - lower) * r[None]
+
+    if n_surface > 0:
+        ts = jnp.linspace(0.0, 1.0, n_surface)[None]
+        valid = (gt > 0).astype(jnp.float32)
+        znear, zfar = 0.9 * gt, 1.1 * gt
+        z_surf_valid = znear + (zfar - znear) * ts
+        z_surf_invalid = 0.001 + (gt_depth.max() - 0.001) * ts
+        z_surf = z_surf_valid * valid + z_surf_invalid * (1 - valid)
+        z_vals = jnp.sort(jnp.concatenate([z_vals, z_surf], axis=1), axis=1)
+
+    return z_vals, sample_dist
+
+
+def render_rays(model, params, key, rays_o, rays_d, gt_depth, bound,
+                realtime_bound, n_samples: int, n_surface: int,
+                perturb: float) -> Dict[str, jnp.ndarray]:
+    """Sample + volume render one ray batch (render.py:73-175)."""
+    z_vals, sample_dist = sample_z_vals(key, rays_o, rays_d, gt_depth,
+                                        bound, n_samples, n_surface, perturb)
+    dists = jnp.concatenate(
+        [z_vals[:, 1:] - z_vals[:, :-1], sample_dist], axis=1)
+    return model.apply({"params": params}, rays_o, rays_d, z_vals, dists,
+                       bound, realtime_bound)
+
+
+def build_ray_dirs(H, W, fx, fy, cx, cy):
+    """Per-pixel un-normalized camera-frame ray directions [H, W, 3]
+    (nerf_func.build_rays with nerf_coordinate=False, dir_normalize=False)."""
+    j, i = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                        jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    return jnp.stack([(i - cx) / fx, (j - cy) / fy, jnp.ones_like(i)],
+                     axis=-1)
+
+
+def rays_from_pixels(c2w, dirs_cam, pix_y, pix_x):
+    """Gather world rays for chosen pixels.
+
+    c2w: [4,4]; dirs_cam: [H,W,3]; pix_y/pix_x: [R].
+    Returns rays_o [R,3], rays_d [R,3].
+    """
+    d = dirs_cam[pix_y, pix_x]
+    rays_d = d @ c2w[:3, :3].T
+    rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+    return rays_o, rays_d

@@ -1,0 +1,603 @@
+"""Factor graph over keyframes — static-capacity, device-resident.
+
+Re-design of /root/reference/src/factor_graph.py for XLA: the reference
+grows/shrinks edge tensors with torch.cat (a recompile storm under jit);
+here edges live in fixed-capacity slot arrays with a validity mask, so
+every update step runs one of a handful of pre-compiled programs
+(capacity-bucketed by the optimization-window size).
+
+Host (numpy): edge bookkeeping — endpoints, age, slot allocation, dedup,
+eviction. Device (jnp): per-edge GRU hidden state, flow targets/weights,
+correlation pyramids, and the fused update kernel:
+reproject -> motion features -> corr lookup -> update operator -> DBA.
+
+Two correlation backends, as in the reference:
+  * 'volume': precomputed all-pairs pyramids per edge slot (frontend)
+  * 'alt':    on-the-fly patch correlation from feature pyramids with
+              edge-chunked GRU updates (backend / long sequences;
+              factor_graph.py:255-321 update_lowmem)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.droidnet import UpdateModule, upsample_disp
+from ..ops import corr, dba, projective
+from ..utils.shapes import bucket
+from .video import VideoBuffer
+
+EPS_DAMP = 1e-7
+MOTION_CLAMP = 64.0
+
+
+class FactorGraph:
+    def __init__(self, video: VideoBuffer, params, max_factors: int = 96,
+                 corr_impl: str = "volume", upsample: bool = False,
+                 inac_capacity: int = 0, chunk: int = 256):
+        self.video = video
+        self.params = params
+        self.max_factors = max_factors
+        self.corr_impl = corr_impl
+        self.upsample = upsample
+
+        cap = bucket(max_factors + 48)
+        self.cap = cap
+        self.chunk = min(chunk, cap)
+        self.cap_inac = bucket(max(inac_capacity, max_factors)) \
+            if inac_capacity >= 0 else 0
+
+        h8, w8 = video.h8, video.w8
+        self.h8, self.w8 = h8, w8
+
+        # host bookkeeping
+        self.ii = np.zeros(cap, np.int32)
+        self.jj = np.zeros(cap, np.int32)
+        self.age = np.zeros(cap, np.int32)
+        self.valid = np.zeros(cap, bool)
+        self.ii_inac = np.zeros(self.cap_inac, np.int32)
+        self.jj_inac = np.zeros(self.cap_inac, np.int32)
+        self.valid_inac = np.zeros(self.cap_inac, bool)
+        self.ii_bad: list = []
+        self.jj_bad: list = []
+
+        # device state
+        self.net = jnp.zeros((cap, h8, w8, 128), jnp.bfloat16)
+        self.target = jnp.zeros((cap, h8, w8, 2), jnp.float32)
+        self.weight = jnp.zeros((cap, h8, w8, 2), jnp.float32)
+        self.target_inac = jnp.zeros((self.cap_inac, h8, w8, 2), jnp.float32)
+        self.weight_inac = jnp.zeros((self.cap_inac, h8, w8, 2), jnp.float32)
+
+        if corr_impl == "volume":
+            hw = h8 * w8
+            self.pyramid = [
+                jnp.zeros((cap, hw, h8 // 2 ** l, w8 // 2 ** l), jnp.bfloat16)
+                for l in range(corr.NUM_LEVELS)
+            ]
+        else:
+            self.pyramid = None
+
+        self.update_op = UpdateModule(num_frames=0)  # num_frames set per call
+
+    # ------------------------------------------------------------------
+    # host-side edge set operations
+    # ------------------------------------------------------------------
+    def _active_pairs(self):
+        return set(zip(self.ii[self.valid].tolist(),
+                       self.jj[self.valid].tolist()))
+
+    def _inactive_pairs(self):
+        return set(zip(self.ii_inac[self.valid_inac].tolist(),
+                       self.jj_inac[self.valid_inac].tolist()))
+
+    def n_edges(self) -> int:
+        return int(self.valid.sum())
+
+    def add_factors(self, ii, jj, remove: bool = False):
+        """Add edges (dedup, optional age-based eviction), compute their
+        correlation pyramids and initial targets (factor_graph.py:86-131)."""
+        ii = np.asarray(ii, np.int32).reshape(-1)
+        jj = np.asarray(jj, np.int32).reshape(-1)
+
+        seen = self._active_pairs() | self._inactive_pairs()
+        keep = [k for k in range(len(ii))
+                if (ii[k], jj[k]) not in seen
+                and not (seen.add((ii[k], jj[k])))]  # dedup within batch too
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return
+
+        # eviction to make room (reference evicts oldest when remove=True;
+        # we must also evict on hard capacity overflow)
+        limit = self.max_factors if (remove and self.max_factors > 0) \
+            else self.cap
+        limit = min(limit, self.cap)
+        over = self.n_edges() + len(ii) - limit
+        if over > 0:
+            act = np.where(self.valid)[0]
+            oldest = act[np.argsort(-self.age[act])][:over]
+            mask = np.zeros(self.cap, bool)
+            mask[oldest] = True
+            self.rm_factors(mask, store=True)
+
+        free = np.where(~self.valid)[0][:len(ii)]
+        n = len(free)
+        ii, jj = ii[:n], jj[:n]
+
+        self.ii[free] = ii
+        self.jj[free] = jj
+        self.age[free] = 0
+        self.valid[free] = True
+
+        self._write_new_edges(jnp.asarray(ii), jnp.asarray(jj),
+                              jnp.asarray(free))
+
+    def _write_new_edges(self, ii, jj, slots):
+        """Device writes for newly added edges, padded to a count bucket."""
+        K = bucket(int(ii.shape[0]), (1, 2, 4, 8, 16, 32, 64, 128, 256, 512))
+        pad = K - int(ii.shape[0])
+        if pad:
+            ii = jnp.concatenate([ii, jnp.zeros(pad, ii.dtype)])
+            jj = jnp.concatenate([jj, jnp.zeros(pad, jj.dtype)])
+            # out-of-range slot -> dropped by scatter
+            slots = jnp.concatenate(
+                [slots, jnp.full(pad, self.cap, slots.dtype)])
+
+        out = _new_edge_kernel(
+            self.corr_impl == "volume", self.video.stereo,
+            self.video.poses, self.video.disps, self.video.intrinsics,
+            self.video.fmaps, self.video.nets, ii, jj, slots,
+            self.net, self.target, self.weight,
+            tuple(self.pyramid) if self.pyramid is not None else ())
+        if self.pyramid is not None:
+            self.net, self.target, self.weight = out[:3]
+            self.pyramid = list(out[3:])
+        else:
+            self.net, self.target, self.weight = out[:3]
+
+    def rm_factors(self, mask, store: bool = False):
+        """Drop edges; optionally archive their targets/weights
+        (factor_graph.py:134-158)."""
+        mask = np.asarray(mask, bool) & self.valid
+        if not mask.any():
+            return
+        if store and self.cap_inac:
+            idx = np.where(mask)[0]
+            free = np.where(~self.valid_inac)[0]
+            if len(free) < len(idx):       # recycle oldest inactive slots
+                extra = len(idx) - len(free)
+                used = np.where(self.valid_inac)[0][:extra]
+                free = np.concatenate([free, used])
+            free = free[:len(idx)]
+            self.ii_inac[free] = self.ii[idx]
+            self.jj_inac[free] = self.jj[idx]
+            self.valid_inac[free] = True
+            # pad to a count bucket so the copy kernel compiles once
+            K = bucket(len(idx), (4, 16, 64, 256, 1024))
+            idx_p = np.zeros(K, np.int32)
+            idx_p[:len(idx)] = idx
+            free_p = np.full(K, self.cap_inac, np.int32)  # OOB -> dropped
+            free_p[:len(free)] = free
+            self.target_inac, self.weight_inac = _archive_kernel(
+                self.target, self.weight, self.target_inac, self.weight_inac,
+                jnp.asarray(idx_p), jnp.asarray(free_p),
+                self.cap_inac)
+        self.valid[mask] = False
+
+    def rm_keyframe(self, ix: int):
+        """Remove keyframe ix: video roll-down + edge reindexing
+        (factor_graph.py:161-196)."""
+        self.video.remove_keyframe(ix)
+
+        m = self.valid & ((self.ii == ix) | (self.jj == ix))
+        self.valid[m] = False
+        self.ii[self.ii > ix] -= 1
+        self.jj[self.jj > ix] -= 1
+
+        mi = self.valid_inac & ((self.ii_inac == ix) | (self.jj_inac == ix))
+        self.valid_inac[mi] = False
+        self.ii_inac[self.ii_inac > ix] -= 1
+        self.jj_inac[self.jj_inac > ix] -= 1
+
+    def clear_edges(self):
+        self.valid[:] = False
+        self.valid_inac[:] = False
+
+    def filter_edges(self):
+        """Drop long-range edges whose mean confidence collapsed
+        (factor_graph.py:71-78)."""
+        conf = np.asarray(jnp.mean(self.weight, axis=(1, 2, 3)))
+        mask = self.valid & (np.abs(self.ii - self.jj) > 2) & (conf < 1e-3)
+        self.ii_bad += self.ii[mask].tolist()
+        self.jj_bad += self.jj[mask].tolist()
+        self.rm_factors(mask, store=False)
+
+    # ------------------------------------------------------------------
+    # edge proposal (factor_graph.py:368-450)
+    # ------------------------------------------------------------------
+    def add_neighborhood_factors(self, t0: int, t1: int, r: int = 3):
+        ii, jj = np.meshgrid(np.arange(t0, t1), np.arange(t0, t1),
+                             indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+        c = 1 if self.video.stereo else 0
+        keep = (np.abs(ii - jj) > c) & (np.abs(ii - jj) <= r)
+        self.add_factors(ii[keep], jj[keep])
+
+    def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
+                              thresh=16.0, remove=False):
+        """Distance-sorted greedy edge proposal with NMS suppression.
+
+        The O(n^2) distance matrix is computed on device; the sequential
+        greedy selection runs on host over the downloaded matrix (cheap
+        scalar work, matching the reference's Python loop)."""
+        t = self.video.counter
+        ilen, jlen = t - t0, t - t1
+        if ilen <= 0 or jlen <= 0:
+            return
+        ii0, jj0 = np.meshgrid(np.arange(t0, t), np.arange(t1, t),
+                               indexing="ij")
+        ii_f, jj_f = ii0.reshape(-1), jj0.reshape(-1)
+        d = np.array(self.video.distance(ii_f, jj_f, beta=beta))
+        d[ii_f - rad < jj_f] = np.inf
+        d[d > 100] = np.inf
+        d = d.reshape(ilen, jlen)
+
+        # suppress around existing edges
+        ii1 = np.concatenate([self.ii[self.valid],
+                              np.asarray(self.ii_bad, np.int32),
+                              self.ii_inac[self.valid_inac]])
+        jj1 = np.concatenate([self.jj[self.valid],
+                              np.asarray(self.jj_bad, np.int32),
+                              self.jj_inac[self.valid_inac]])
+        for i, j in zip(ii1, jj1):
+            if t0 <= i < t and t1 <= j < t:
+                di, dj = i - t0, j - t1
+                d[max(0, di - nms):di + nms + 1,
+                  max(0, dj - nms):dj + nms + 1] = np.inf
+
+        es = []
+        for i in range(t0, t):
+            if self.video.stereo:
+                es.append((i, i))
+                d[i - t0, i - t1] = np.inf
+            for j in range(max(i - rad, 0), i):
+                es.append((i, j))
+                es.append((j, i))
+                di, dj = i - t0, j - t1
+                d[max(0, di - nms):di + nms + 1,
+                  max(0, dj - nms):dj + nms + 1] = np.inf
+
+        order = np.argsort(d, axis=None)
+        for k in order:
+            if d.flat[k] > thresh:
+                break
+            if len(es) > self.max_factors:
+                break
+            di, dj = k // jlen, k % jlen
+            if not np.isfinite(d[di, dj]):
+                continue
+            es.append((di + t0, dj + t1))
+            es.append((dj + t1, di + t0))
+            d[max(0, di - nms):di + nms + 1,
+              max(0, dj - nms):dj + nms + 1] = np.inf
+
+        if es:
+            ii, jj = np.asarray(es, np.int32).T
+            self.add_factors(ii, jj, remove)
+
+    # ------------------------------------------------------------------
+    # the fused update step (factor_graph.py:199-252)
+    # ------------------------------------------------------------------
+    def update(self, t0: Optional[int] = None, t1: Optional[int] = None,
+               iters: int = 2, use_inactive: bool = False,
+               motion_only: bool = False, ba_lm: float = 1e-4,
+               ba_ep: float = 0.1):
+        """One GRU/flow step + `iters` Gauss-Newton DBA iterations."""
+        if not self.valid.any():
+            return
+        vi, vj = self.ii[self.valid], self.jj[self.valid]
+        if t0 is None:
+            t0 = max(1, int(vi.min()) + 1)
+        t0 = max(1, t0)
+        if t1 is None:
+            t1 = int(max(vi.max(), vj.max())) + 1
+
+        # inactive edges participating in the BA (factor_graph.py:229-234)
+        if use_inactive and self.cap_inac:
+            inac_ok = self.valid_inac & (self.ii_inac >= t0 - 3) & \
+                (self.jj_inac >= t0 - 3)
+        else:
+            inac_ok = np.zeros(self.cap_inac, bool)
+
+        lows = [vi.min(), vj.min(), t0 - 1]
+        if inac_ok.any():
+            lows += [self.ii_inac[inac_ok].min(), self.jj_inac[inac_ok].min()]
+        base = int(min(lows))
+        P = bucket(t1 - base)
+        base = max(0, min(base, self.video.buffer - P))
+
+        ii_all = self.ii[self.valid]
+        if inac_ok.any():
+            ii_all = np.concatenate([ii_all, self.ii_inac[inac_ok]])
+        deg = int(np.bincount(ii_all, minlength=1).max()) if len(ii_all) \
+            else 1
+        max_deg = bucket(deg, (4, 8, 12, 16, 24, 32, 48, 64, 96, 128))
+
+        out = _update_kernel(
+            P, self.cap, self.cap_inac, self.upsample, max_deg,
+            self.params,
+            self.video.poses, self.video.disps, self.video.disps_sens,
+            self.video.damping, self.video.disps_up, self.video.intrinsics,
+            self.video.inps,
+            self.net, self.target, self.weight,
+            tuple(self.pyramid),
+            jnp.asarray(self.ii), jnp.asarray(self.jj),
+            jnp.asarray(self.valid),
+            jnp.asarray(self.ii_inac), jnp.asarray(self.jj_inac),
+            jnp.asarray(inac_ok),
+            self.target_inac, self.weight_inac,
+            base, t0, t1, iters, ba_lm, ba_ep, motion_only)
+
+        (self.video.poses, self.video.disps, self.video.damping,
+         self.video.disps_up, self.net, self.target, self.weight) = out
+
+        self.age[self.valid] += 1
+        self.video.dirty[int(vi.min()):t1] = True
+
+    # ------------------------------------------------------------------
+    # low-memory update for global BA (factor_graph.py:255-321)
+    # ------------------------------------------------------------------
+    def update_lowmem(self, t0=None, t1=None, iters=2, steps=8, max_t=None,
+                      ba_type="dense", motion_only=False):
+        """steps x (edge-chunked alt-corr GRU + full BA)."""
+        if not self.valid.any():
+            return
+        vi, vj = self.ii[self.valid], self.jj[self.valid]
+        if t0 is None:
+            t0 = max(1, int(vi.min()) + 1)
+        t0 = max(1, t0)
+        if t1 is None:
+            t1 = int(max(vi.max(), vj.max())) + 1
+        t = max_t if max_t is not None else self.video.counter
+
+        lm, ep = (1e-4, 1e-1) if ba_type == "loop" else (1e-5, 1e-2)
+
+        rig = self.video.rig
+        Tb = bucket(min((t + 2) * rig, self.video.buffer * rig))
+        fmaps = self.video.fmaps[:Tb // rig].reshape(
+            -1, self.h8, self.w8, 128)
+
+        P = bucket(t1)
+        base = 0
+
+        for _ in range(steps):
+            self._lowmem_step(P, Tb, fmaps, base, t0, t1, iters, lm, ep,
+                              motion_only)
+        self.video.dirty[:t] = True
+
+    def _lowmem_step(self, P, Tb, fmaps, base, t0, t1, iters, lm, ep,
+                     motion_only):
+        rig = self.video.rig
+        # stereo edge (ii==jj) looks up the right image: 2*jj + 1
+        ii_r = self.ii * rig
+        jj_r = self.jj * rig + (self.ii == self.jj).astype(np.int32) \
+            if self.video.stereo else self.jj
+        nchunks = (self.cap + self.chunk - 1) // self.chunk
+        ii_all = self.ii[self.valid]
+        deg = int(np.bincount(ii_all, minlength=1).max()) if len(ii_all) \
+            else 1
+        max_deg = bucket(deg, (4, 8, 12, 16, 24, 32, 48, 64, 96, 128))
+
+        out = _lowmem_kernel(
+            P, self.cap, self.chunk, nchunks, max_deg,
+            self.params,
+            self.video.poses, self.video.disps, self.video.disps_sens,
+            self.video.damping, self.video.intrinsics, self.video.inps,
+            fmaps,
+            self.net, self.target, self.weight,
+            jnp.asarray(self.ii), jnp.asarray(self.jj),
+            jnp.asarray(ii_r), jnp.asarray(jj_r),
+            jnp.asarray(self.valid),
+            base, t0, t1, iters, lm, ep, motion_only)
+        (self.video.poses, self.video.disps, self.video.damping,
+         self.net, self.target, self.weight) = out
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels (module-level for cache sharing across graphs)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("volume_impl", "stereo"))
+def _new_edge_kernel(volume_impl, stereo, poses, disps, intrinsics, fmaps,
+                     nets_v, ii, jj, slots, net, target, weight, pyramid):
+    """Initialize state for new edge slots: GRU hidden from the source
+    frame, correlation pyramid, reprojected target, zero weight."""
+    coords, _ = projective.transform(poses, disps, intrinsics, ii, jj)
+    target = target.at[slots].set(coords, mode="drop")
+    weight = weight.at[slots].set(0.0, mode="drop")
+    net = net.at[slots].set(nets_v[ii], mode="drop")
+
+    if volume_impl:
+        c = (ii == jj).astype(jnp.int32) if stereo else jnp.zeros_like(ii)
+        f1 = fmaps[ii, 0]
+        f2 = fmaps[jj, c]
+        pyr = corr.build_pyramid(f1, f2)
+        pyramid = tuple(
+            p.at[slots].set(lvl, mode="drop")
+            for p, lvl in zip(pyramid, pyr.levels))
+        return (net, target, weight) + pyramid
+    return (net, target, weight)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_inac",))
+def _archive_kernel(target, weight, target_inac, weight_inac, idx, free,
+                    cap_inac):
+    tg = target[idx]
+    wt = weight[idx]
+    return (target_inac.at[free].set(tg, mode="drop"),
+            weight_inac.at[free].set(wt, mode="drop"))
+
+
+def _motion_features(coords1, target, h8, w8):
+    grid = projective.coords_grid(h8, w8)
+    motion = jnp.concatenate([coords1 - grid, target - coords1], axis=-1)
+    return jnp.clip(motion, -MOTION_CLAMP, MOTION_CLAMP)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "P", "cap", "cap_inac", "upsample", "max_deg", "iters", "motion_only"))
+def _update_kernel(P, cap, cap_inac, upsample, max_deg, params,
+                   poses, disps, disps_sens, damping, disps_up, intrinsics,
+                   inps_v,
+                   net, target, weight, pyramid,
+                   ii, jj, valid, ii_inac, jj_inac, inac_ok,
+                   target_inac, weight_inac,
+                   base, t0, t1, iters, lm, ep, motion_only):
+    """Fused: reproject -> motion -> corr lookup -> update op -> DBA."""
+    h8, w8 = disps.shape[-2:]
+
+    ii_s = jnp.where(valid, ii, 0)
+    jj_s = jnp.where(valid, jj, 0)
+
+    coords1, _ = projective.transform(poses, disps, intrinsics, ii_s, jj_s)
+    motion = _motion_features(coords1, target, h8, w8)
+
+    corr_feat = corr.lookup(corr.CorrPyramid(list(pyramid)), coords1)
+
+    ii_local = jnp.clip(ii_s - base, 0, P - 1)
+    jj_local = jnp.clip(jj_s - base, 0, P - 1)
+
+    update_op = UpdateModule(num_frames=P)
+    net_new, delta, w_new, eta, upmask, has_edge = update_op.apply(
+        {"params": params["update"]},
+        net.astype(jnp.bfloat16), inps_v[ii_s],
+        corr_feat.astype(jnp.bfloat16), motion.astype(jnp.bfloat16),
+        ii_local, valid)
+
+    vf = valid[:, None, None, None].astype(jnp.float32)
+    net = jnp.where(valid[:, None, None, None], net_new, net)
+    target = jnp.where(vf > 0, coords1 + delta.astype(jnp.float32), target)
+    weight = jnp.where(vf > 0, w_new.astype(jnp.float32), weight)
+
+    # damping update for frames with edges (factor_graph.py:227)
+    damping_w = jax.lax.dynamic_slice(
+        damping, (base, 0, 0), (P, h8, w8))
+    damping_w = jnp.where(has_edge[:, None, None],
+                          eta.astype(jnp.float32), damping_w)
+    damping = jax.lax.dynamic_update_slice(damping, damping_w, (base, 0, 0))
+
+    # ---- DBA over the window ----------------------------------------
+    poses_w = jax.lax.dynamic_slice(poses, (base, 0), (P, 7))
+    disps_w = jax.lax.dynamic_slice(disps, (base, 0, 0), (P, h8, w8))
+    sens_w = jax.lax.dynamic_slice(disps_sens, (base, 0, 0), (P, h8, w8))
+    eta_ba = 0.2 * damping_w + EPS_DAMP
+
+    if cap_inac:
+        ii_ba = jnp.concatenate([ii_local, jnp.clip(ii_inac - base, 0, P - 1)])
+        jj_ba = jnp.concatenate([jj_local, jnp.clip(jj_inac - base, 0, P - 1)])
+        tg_ba = jnp.concatenate([target, target_inac], axis=0)
+        wt_ba = jnp.concatenate([weight, weight_inac], axis=0)
+        ok_ba = jnp.concatenate([valid, inac_ok])
+    else:
+        ii_ba, jj_ba, tg_ba, wt_ba, ok_ba = (
+            ii_local, jj_local, target, weight, valid)
+
+    poses_w, disps_w = dba.ba(
+        poses_w, disps_w, intrinsics, sens_w, tg_ba, wt_ba, eta_ba,
+        ii_ba, jj_ba, ok_ba, t0 - base, t1 - base, iters=iters, lm=lm,
+        ep=ep, motion_only=motion_only, max_deg=max_deg)
+
+    poses = jax.lax.dynamic_update_slice(poses, poses_w, (base, 0))
+    disps = jax.lax.dynamic_update_slice(disps, disps_w, (base, 0, 0))
+
+    if upsample:
+        up = upsample_disp(disps_w, upmask.astype(jnp.float32))
+        up_w = jax.lax.dynamic_slice(
+            disps_up, (base, 0, 0), (P, 8 * h8, 8 * w8))
+        up_w = jnp.where(has_edge[:, None, None], up, up_w)
+        disps_up = jax.lax.dynamic_update_slice(disps_up, up_w, (base, 0, 0))
+
+    return poses, disps, damping, disps_up, net, target, weight
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "P", "cap", "chunk", "nchunks", "max_deg", "iters", "motion_only"))
+def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, params,
+                   poses, disps, disps_sens, damping, intrinsics, inps_v,
+                   fmaps, net, target, weight,
+                   ii, jj, ii_r, jj_r, valid,
+                   base, t0, t1, iters, lm, ep, motion_only):
+    """One step of the low-memory path: alt-corr GRU over edge chunks,
+    then full-window DBA (factor_graph.py:272-318)."""
+    h8, w8 = disps.shape[-2:]
+
+    ii_s = jnp.where(valid, ii, 0)
+    jj_s = jnp.where(valid, jj, 0)
+    ii_rs = jnp.where(valid, ii_r, 0)
+    jj_rs = jnp.where(valid, jj_r, 0)
+
+    coords1, _ = projective.transform(poses, disps, intrinsics, ii_s, jj_s)
+    motion = _motion_features(coords1, target, h8, w8)
+
+    fpyr = corr.build_feature_pyramid(fmaps)
+    update_op = UpdateModule(num_frames=P)
+
+    def do_chunk(c0):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0, chunk)
+        corr_feat = corr.alt_corr(fpyr, sl(coords1), sl(ii_rs), sl(jj_rs))
+        ii_loc = jnp.clip(sl(ii_s) - base, 0, P - 1)
+        net_c, delta_c, w_c, eta_c, _, has_edge_c = update_op.apply(
+            {"params": params["update"]},
+            sl(net).astype(jnp.bfloat16), inps_v[sl(ii_s)],
+            corr_feat.astype(jnp.bfloat16), sl(motion).astype(jnp.bfloat16),
+            ii_loc, sl(valid))
+        return net_c, delta_c, w_c, eta_c, has_edge_c
+
+    nets, deltas, ws, etas, hases = [], [], [], [], []
+    for c in range(nchunks):
+        net_c, delta_c, w_c, eta_c, has_c = do_chunk(c * chunk)
+        nets.append(net_c)
+        deltas.append(delta_c)
+        ws.append(w_c)
+        etas.append(eta_c)
+        hases.append(has_c)
+
+    net_new = jnp.concatenate(nets)[:cap]
+    delta = jnp.concatenate(deltas)[:cap]
+    w_new = jnp.concatenate(ws)[:cap]
+
+    # merge per-chunk damping estimates (mean over chunks that saw the frame)
+    eta_all = jnp.stack(etas)                       # [nc, P, h8, w8]
+    has_all = jnp.stack(hases).astype(jnp.float32)  # [nc, P]
+    eta_sum = jnp.einsum("cphw,cp->phw", eta_all.astype(jnp.float32), has_all)
+    has_any = has_all.sum(0)
+    eta_mean = eta_sum / jnp.maximum(has_any, 1.0)[:, None, None]
+
+    vmask = valid[:, None, None, None]
+    net = jnp.where(vmask, net_new, net)
+    target = jnp.where(vmask, coords1 + delta.astype(jnp.float32), target)
+    weight = jnp.where(vmask, w_new.astype(jnp.float32), weight)
+
+    damping_w = jax.lax.dynamic_slice(damping, (base, 0, 0), (P, h8, w8))
+    damping_w = jnp.where((has_any > 0)[:, None, None], eta_mean, damping_w)
+    damping = jax.lax.dynamic_update_slice(damping, damping_w, (base, 0, 0))
+
+    poses_w = jax.lax.dynamic_slice(poses, (base, 0), (P, 7))
+    disps_w = jax.lax.dynamic_slice(disps, (base, 0, 0), (P, h8, w8))
+    sens_w = jax.lax.dynamic_slice(disps_sens, (base, 0, 0), (P, h8, w8))
+    eta_ba = 0.2 * damping_w + EPS_DAMP
+
+    ii_local = jnp.clip(ii_s - base, 0, P - 1)
+    jj_local = jnp.clip(jj_s - base, 0, P - 1)
+    poses_w, disps_w = dba.ba(
+        poses_w, disps_w, intrinsics, sens_w, target, weight, eta_ba,
+        ii_local, jj_local, valid, t0 - base, t1 - base, iters=iters,
+        lm=lm, ep=ep, motion_only=motion_only, max_deg=max_deg)
+
+    poses = jax.lax.dynamic_update_slice(poses, poses_w, (base, 0))
+    disps = jax.lax.dynamic_update_slice(disps, disps_w, (base, 0, 0))
+    return poses, disps, damping, net, target, weight
