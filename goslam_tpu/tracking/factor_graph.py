@@ -348,6 +348,15 @@ class FactorGraph:
         self.age[self.valid] += 1
         self.video.dirty[int(vi.min()):t1] = True
 
+    def update_fast(self, t0=None, t1=None, iters=2, steps=8,
+                    motion_only=False):
+        """Multi-step volume-corr update (factor_graph.py:324-366):
+        `steps` GRU+BA rounds over the precomputed pyramids with the loop
+        damping regime (lm=1e-4, ep=1e-1)."""
+        for _ in range(steps):
+            self.update(t0=t0, t1=t1, iters=iters, motion_only=motion_only,
+                        ba_lm=1e-4, ba_ep=1e-1)
+
     # ------------------------------------------------------------------
     # low-memory update for global BA (factor_graph.py:255-321)
     # ------------------------------------------------------------------
