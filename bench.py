@@ -64,7 +64,8 @@ def main():
             poses, disps = dba.ba(poses, disps, intr,
                                   jnp.zeros_like(disps), target, weight,
                                   eta, ii, jj, valid, 1, P, iters=2,
-                                  lm=1e-5, ep=1e-2, max_deg=8)
+                                  lm=1e-5, ep=1e-2, solver="cg",
+                                  cg_iters=32)
         return poses, disps
 
     # compile + warmup (materialize: block_until_ready alone does not

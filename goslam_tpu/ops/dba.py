@@ -112,11 +112,13 @@ def build_edge_system(poses, disps, intrinsics, target, weight, ii, jj,
     rv = tw[..., 1] - (fy * d * y + cy)
 
     o = jnp.zeros_like(d)
-    # d(proj)/d(xi_j), left-increment tangent [trans, rot]
+    # d(proj)/d(xi_j), left-increment tangent [trans, rot].
+    # Layout: [E, 6, hw] — hw on the lane (last) dim; a [E, hw, 12] layout
+    # pads the 12 up to 128 lanes (10x memory traffic).
     Ju_j = fx * jnp.stack([h * d, o, -x * h * d2,
-                           -x * y * d2, 1.0 + x * x * d2, -y * d], axis=-1)
+                           -x * y * d2, 1.0 + x * x * d2, -y * d], axis=1)
     Jv_j = fy * jnp.stack([o, h * d, -y * h * d2,
-                           -1.0 - y * y * d2, x * y * d2, x * d], axis=-1)
+                           -1.0 - y * y * d2, x * y * d2, x * d], axis=1)
     # d(proj)/d(disp_i)
     tij = Gij[:, 0:3]
     Jz_u = fx * (tij[:, 0:1] * d - tij[:, 2:3] * (x * d2))
@@ -131,28 +133,58 @@ def build_edge_system(poses, disps, intrinsics, target, weight, ii, jj,
     wv_p = jnp.where(stereo[:, None], 0.0, wv)
 
     # dual-adjoint transport to the pose-i tangent (droid_kernels.cu:325-326)
-    Ju_i = -lie.adjT(Gij[:, None, :], Ju_j)
-    Jv_i = -lie.adjT(Gij[:, None, :], Jv_j)
+    Ju_i = -_adjT_cols(Gij, Ju_j)
+    Jv_i = -_adjT_cols(Gij, Jv_j)
 
-    Jx_u = jnp.concatenate([Ju_i, Ju_j], axis=-1)   # [E, hw, 12]
-    Jx_v = jnp.concatenate([Jv_i, Jv_j], axis=-1)
+    Jx_u = jnp.concatenate([Ju_i, Ju_j], axis=1)   # [E, 12, hw]
+    Jx_v = jnp.concatenate([Jv_i, Jv_j], axis=1)
 
-    # weighted normal equations — MXU batched matmuls over hw
-    H = (jnp.einsum("eka,ek,ekb->eab", Jx_u, wu_p, Jx_u,
-                    preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-         + jnp.einsum("eka,ek,ekb->eab", Jx_v, wv_p, Jx_v,
-                      preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
-    vv = (jnp.einsum("eka,ek->ea", Jx_u, wu_p * ru,
-                     preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-          + jnp.einsum("eka,ek->ea", Jx_v, wv_p * rv,
-                       preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
+    # weighted normal equations — MXU batched matmuls over hw (lane dim)
+    HI = jax.lax.Precision.HIGHEST
+    H = (jnp.einsum("eah,eh,ebh->eab", Jx_u, wu_p, Jx_u,
+                    preferred_element_type=jnp.float32, precision=HI)
+         + jnp.einsum("eah,eh,ebh->eab", Jx_v, wv_p, Jx_v,
+                      preferred_element_type=jnp.float32, precision=HI))
+    vv = (jnp.einsum("eah,eh->ea", Jx_u, wu_p * ru,
+                     preferred_element_type=jnp.float32, precision=HI)
+          + jnp.einsum("eah,eh->ea", Jx_v, wv_p * rv,
+                       preferred_element_type=jnp.float32, precision=HI))
 
-    Eii_blk = (wu_p * Jz_u)[:, None, :] * jnp.moveaxis(Ju_i, -1, 1) \
-        + (wv_p * Jz_v)[:, None, :] * jnp.moveaxis(Jv_i, -1, 1)
-    Eij_blk = (wu_p * Jz_u)[:, None, :] * jnp.moveaxis(Ju_j, -1, 1) \
-        + (wv_p * Jz_v)[:, None, :] * jnp.moveaxis(Jv_j, -1, 1)
+    Eii_blk = (wu_p * Jz_u)[:, None, :] * Ju_i \
+        + (wv_p * Jz_v)[:, None, :] * Jv_i
+    Eij_blk = (wu_p * Jz_u)[:, None, :] * Ju_j \
+        + (wv_p * Jz_v)[:, None, :] * Jv_j
 
     return EdgeSystem(H, vv, Eii_blk, Eij_blk, Cii, bz)
+
+
+def _adjT_cols(pose, J):
+    """Dual-adjoint transport in [E, 6, hw] layout (see lie.adjT):
+      Y[:3] = R^T J[:3];  Y[3:] = R^T J[3:] - R^T (t x J[:3]).
+    pose: [E, 7]; J: [E, 6, hw]."""
+    q = lie.quat_inv(pose[:, 3:7])[:, :, None]     # [E, 4, 1]
+    t = pose[:, 0:3][:, :, None]                   # [E, 3, 1]
+
+    def rot(vx, vy, vz):
+        """Rotate per-lane 3-vectors by q (components as [E, hw])."""
+        qx, qy, qz, qw = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        ux = 2 * (qy * vz - qz * vy)
+        uy = 2 * (qz * vx - qx * vz)
+        uz = 2 * (qx * vy - qy * vx)
+        return (vx + qw * ux + (qy * uz - qz * uy),
+                vy + qw * uy + (qz * ux - qx * uz),
+                vz + qw * uz + (qx * uy - qy * ux))
+
+    a1, a2, a3 = J[:, 0], J[:, 1], J[:, 2]
+    b1, b2, b3 = J[:, 3], J[:, 4], J[:, 5]
+    tx, ty, tz = t[:, 0], t[:, 1], t[:, 2]
+    # c = J[:3] x t  (the CUDA kernel's operand order, droid_kernels.cu:85-89)
+    cx_ = a2 * tz - a3 * ty
+    cy_ = a3 * tx - a1 * tz
+    cz_ = a1 * ty - a2 * tx
+    r1, r2, r3 = rot(a1, a2, a3)
+    s1, s2, s3 = rot(b1 + cx_, b2 + cy_, b3 + cz_)
+    return jnp.stack([r1, r2, r3, s1, s2, s3], axis=1)
 
 
 def _source_table(ii, valid, P: int, D: int):
@@ -191,13 +223,63 @@ def _solve_spd(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(bad, jnp.zeros_like(dx), dx)
 
 
+def _pcg(matvec, Minv_blocks, rhs, pm_f, iters: int = 64, tol: float = 1e-7):
+    """Preconditioned conjugate gradients on the [P, 6] pose system.
+
+    Minv_blocks: [P, 6, 6] block-Jacobi preconditioner.  Fixed poses are
+    kept at zero via pm_f masking inside matvec.  Early exit on relative
+    residual; non-finite solutions fall back to zeros (Eigen-failure
+    semantics).
+    """
+    def apply_M(r):
+        return jnp.einsum("kab,kb->ka", Minv_blocks, r)
+
+    r0 = rhs
+    z0 = apply_M(r0)
+    p0 = z0
+    x0 = jnp.zeros_like(rhs)
+    rz0 = (r0 * z0).sum()
+    rhs_norm = jnp.sqrt((rhs * rhs).sum()) + 1e-30
+
+    def cond(state):
+        k, x, r, z, p, rz = state
+        return (k < iters) & (jnp.sqrt((r * r).sum()) > tol * rhs_norm)
+
+    def body(state):
+        k, x, r, z, p, rz = state
+        Ap = matvec(p)
+        alpha = rz / ((p * Ap).sum() + 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_M(r)
+        rz_new = (r * z).sum()
+        beta = rz_new / (rz + 1e-30)
+        p = z + beta * p
+        return k + 1, x, r, z, p, rz_new
+
+    _, x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (0, x0, r0, z0, p0, rz0))
+    bad = ~jnp.all(jnp.isfinite(x))
+    return jnp.where(bad, jnp.zeros_like(x), x) * pm_f[:, None]
+
+
+def _inv6(blocks):
+    """Batched 6x6 inverse with identity fallback on failure."""
+    eye = jnp.eye(6)
+    inv = jnp.linalg.solve(blocks, jnp.broadcast_to(eye, blocks.shape))
+    ok = jnp.isfinite(inv).all(axis=(-2, -1), keepdims=True)
+    return jnp.where(ok, inv, eye)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "motion_only", "max_deg"),
+    static_argnames=("iters", "motion_only", "max_deg", "solver",
+                     "cg_iters"),
 )
 def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
        valid, t0, t1, iters: int = 2, lm: float = 1e-4, ep: float = 0.1,
-       motion_only: bool = False, max_deg: int = 24):
+       motion_only: bool = False, max_deg: int = 24, solver: str = "chol",
+       cg_iters: int = 64):
     """Run `iters` Gauss-Newton steps of dense bundle adjustment.
 
     All arrays are *local-window* views with static shapes; `t0`/`t1` are
@@ -237,31 +319,124 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
     def bc(idx):
         return (idx[..., None] * 6 + ar6)[..., None, :]
 
+    HI = jax.lax.Precision.HIGHEST
+
+    def _dense_solve(rhs, Hii, Hij, Hji, Hjj, Ei, Eij_m, Q):
+        """Explicit [P*6, P*6] assembly + damped Cholesky.
+
+        (a [P,P,6,6] block layout transposes into a pathologically padded
+        [6,6,P^2] form on TPU — assemble 2D from the start)"""
+        L = jnp.zeros((P6, P6), jnp.float32)
+        L = L.at[br(ii), bc(ii)].add(Hii, mode="drop")
+        L = L.at[br(ii), bc(jj)].add(Hij, mode="drop")
+        L = L.at[br(jj), bc(ii)].add(Hji, mode="drop")
+        L = L.at[br(jj), bc(jj)].add(Hjj, mode="drop")
+
+        if not motion_only:
+            # ---- Schur complement: subtract E Q E^T straight into L ------
+            Skk = jnp.einsum("kah,kh,kbh->kab", Ei, Q, Ei,
+                             preferred_element_type=jnp.float32,
+                             precision=HI)
+            L = L.at[br(frames), bc(frames)].add(-Skk, mode="drop")
+            Sx = jnp.einsum("eah,eh,ebh->eab", Ei[ii], Q[ii], Eij_m,
+                            preferred_element_type=jnp.float32,
+                            precision=HI)
+            L = L.at[br(ii), bc(jj)].add(-Sx, mode="drop")
+            L = L.at[br(jj), bc(ii)].add(-jnp.swapaxes(Sx, -1, -2),
+                                         mode="drop")
+            # (jj_e1, jj_e2) same-source pairs via the degree-capped table
+            G = Eij_m[tbl_idx] * tbl_ok[..., None, None]          # [P,D,6,hw]
+            GQ = G * Q[:, None, None, :]
+            Spp = jnp.einsum("kdah,kebh->kdeab", GQ, G,
+                             preferred_element_type=jnp.float32,
+                             precision=HI)
+            pj = jj[tbl_idx]                                      # [P, D]
+            okrc = (tbl_ok[:, :, None] & tbl_ok[:, None, :])      # [P, D, D]
+            rows = (pj[:, :, None, None] * 6 + ar6)[..., :, None]
+            cols = (pj[:, None, :, None] * 6 + ar6)[..., None, :]
+            L = L.at[rows, cols].add(
+                -Spp * okrc[..., None, None], mode="drop")
+
+        rf = rhs.reshape(P6)
+        pm6 = jnp.repeat(pm_f, 6)
+        Lf = L * pm6[:, None] * pm6[None, :]
+        diag = jnp.diagonal(Lf)
+        Lf = Lf + jnp.diag((ep + lm * diag) * pm6 + (1.0 - pm6))
+        return _solve_spd(Lf, rf * pm6).reshape(P, 6) * pm_f[:, None]
+
+    def _cg_solve(rhs, Hii, Hij, Hji, Hjj, Ei, Eij_m, Q):
+        """Matrix-free PCG: the (A - E Q E^T) matvec needs no pair
+        enumeration and no dense matrix — O(P + E) per iteration."""
+        eye6 = jnp.eye(6)
+
+        DA = jnp.zeros((P, 6, 6), jnp.float32)
+        DA = DA.at[ii].add(Hii, mode="drop")
+        DA = DA.at[jj].add(Hjj, mode="drop")
+        if not motion_only:
+            Skk = jnp.einsum("kah,kh,kbh->kab", Ei, Q, Ei,
+                             preferred_element_type=jnp.float32,
+                             precision=HI)
+            See = jnp.einsum("eah,eh,ebh->eab", Eij_m, Q[ii], Eij_m,
+                             preferred_element_type=jnp.float32,
+                             precision=HI)
+            Dg = DA - Skk - jnp.zeros((P, 6, 6), jnp.float32).at[jj].add(
+                See, mode="drop")
+        else:
+            Dg = DA
+
+        diag_vec = jnp.diagonal(Dg, axis1=-2, axis2=-1)           # [P, 6]
+        damp = ep + lm * diag_vec
+
+        Mb = Dg + jax.vmap(jnp.diag)(damp)
+        Mb = Mb * pm_f[:, None, None] + eye6 * (1 - pm_f)[:, None, None]
+        Minv = _inv6(Mb)
+
+        def matvec(x):
+            xm = x * pm_f[:, None]
+            yA = jnp.zeros((P, 6), jnp.float32)
+            yA = yA.at[ii].add(
+                jnp.einsum("eab,eb->ea", Hii, xm[ii], precision=HI)
+                + jnp.einsum("eab,eb->ea", Hij, xm[jj], precision=HI),
+                mode="drop")
+            yA = yA.at[jj].add(
+                jnp.einsum("eab,eb->ea", Hji, xm[ii], precision=HI)
+                + jnp.einsum("eab,eb->ea", Hjj, xm[jj], precision=HI),
+                mode="drop")
+            if not motion_only:
+                hw_ = Q.shape[-1]
+                u = jnp.einsum("kah,ka->kh", Ei, xm, precision=HI)
+                u = u + jnp.zeros((P, hw_), jnp.float32).at[ii].add(
+                    jnp.einsum("eah,ea->eh", Eij_m, xm[jj], precision=HI),
+                    mode="drop")
+                u = Q * u
+                yS = jnp.einsum("kah,kh->ka", Ei, u, precision=HI)
+                yS = yS + jnp.zeros((P, 6), jnp.float32).at[jj].add(
+                    jnp.einsum("eah,eh->ea", Eij_m, u[ii], precision=HI),
+                    mode="drop")
+                yA = yA - yS
+            y = (yA + damp * xm) * pm_f[:, None]
+            return y + x * (1 - pm_f)[:, None]
+
+        return _pcg(matvec, Minv, rhs * pm_f[:, None], pm_f, cg_iters)
+
     def step(_, state):
         poses, disps = state
         sys = build_edge_system(poses, disps, intrinsics, target, weight,
                                 ii, jj, valid)
 
-        # ---- reduced system assembled directly as [P*6, P*6] -------------
-        # (a [P,P,6,6] block layout transposes into a pathologically padded
-        # [6,6,P^2] form on TPU — assemble 2D from the start)
         gi = pose_mask[ii].astype(jnp.float32)
         gj = pose_mask[jj].astype(jnp.float32)
-        L = jnp.zeros((P6, P6), jnp.float32)
-        L = L.at[br(ii), bc(ii)].add(
-            sys.H[:, :6, :6] * gi[:, None, None], mode="drop")
-        L = L.at[br(ii), bc(jj)].add(
-            sys.H[:, :6, 6:] * (gi * gj)[:, None, None], mode="drop")
-        L = L.at[br(jj), bc(ii)].add(
-            sys.H[:, 6:, :6] * (gj * gi)[:, None, None], mode="drop")
-        L = L.at[br(jj), bc(jj)].add(
-            sys.H[:, 6:, 6:] * gj[:, None, None], mode="drop")
+        Hii = sys.H[:, :6, :6] * gi[:, None, None]
+        Hij = sys.H[:, :6, 6:] * (gi * gj)[:, None, None]
+        Hji = sys.H[:, 6:, :6] * (gj * gi)[:, None, None]
+        Hjj = sys.H[:, 6:, 6:] * gj[:, None, None]
 
         b = jnp.zeros((P, 6), jnp.float32)
         b = b.at[ii].add(sys.v[:, :6] * gi[:, None], mode="drop")
         b = b.at[jj].add(sys.v[:, 6:] * gj[:, None], mode="drop")
 
         if motion_only:
+            Q = Ei = Eij_m = w_rhs = None
             rhs = b
         else:
             disps_flat = disps.reshape(P, hw)
@@ -282,51 +457,20 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
                 sys.Eii, mode="drop") * pm_f[:, None, None]
             Eij_m = sys.Eij * gj[:, None, None]                   # [E, 6, hw]
 
-            # ---- Schur complement: subtract E Q E^T straight into L ------
-            # (k, k) from Ei rows
-            Skk = jnp.einsum("kah,kh,kbh->kab", Ei, Q, Ei,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-            L = L.at[br(frames), bc(frames)].add(-Skk, mode="drop")
-            # (k=ii_e, jj_e) cross terms
-            Sx = jnp.einsum("eah,eh,ebh->eab", Ei[ii], Q[ii], Eij_m,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            L = L.at[br(ii), bc(jj)].add(-Sx, mode="drop")
-            L = L.at[br(jj), bc(ii)].add(-jnp.swapaxes(Sx, -1, -2),
-                                         mode="drop")
-            # (jj_e1, jj_e2) same-source pairs via the degree-capped table
-            G = Eij_m[tbl_idx] * tbl_ok[..., None, None]          # [P,D,6,hw]
-            GQ = G * Q[:, None, None, :]
-            Spp = jnp.einsum("kdah,kebh->kdeab", GQ, G,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-            pj = jj[tbl_idx]                                      # [P, D]
-            okrc = (tbl_ok[:, :, None] & tbl_ok[:, None, :])      # [P, D, D]
-            rows = (pj[:, :, None, None] * 6 + ar6)[..., :, None]  # [P,D,1,6,1]
-            cols = (pj[:, None, :, None] * 6 + ar6)[..., None, :]  # [P,1,D,1,6]
-            L = L.at[rows, cols].add(
-                -Spp * okrc[..., None, None], mode="drop")
-
             # rhs reduction v - E Q w
             bs = jnp.einsum("kah,kh,kh->ka", Ei, Q, w_rhs,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=HI)
             bx = jnp.einsum("eah,eh,eh->ea", Eij_m, Q[ii], w_rhs[ii],
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=HI)
             rhs = b - bs - jnp.zeros((P, 6), jnp.float32).at[jj].add(
                 bx, mode="drop")
 
-        # ---- damped solve over free poses --------------------------------
-        rf = rhs.reshape(P6)
-        pm6 = jnp.repeat(pm_f, 6)
-        Lf = L * pm6[:, None] * pm6[None, :]
-        diag = jnp.diagonal(Lf)
-        Lf = Lf + jnp.diag((ep + lm * diag) * pm6 + (1.0 - pm6))
-        rf = rf * pm6
-
-        dx = _solve_spd(Lf, rf).reshape(P, 6) * pm_f[:, None]
+        if solver == "cg":
+            dx = _cg_solve(rhs, Hii, Hij, Hji, Hjj, Ei, Eij_m, Q)
+        else:
+            dx = _dense_solve(rhs, Hii, Hij, Hji, Hjj, Ei, Eij_m, Q)
 
         poses = lie.retr(poses, dx)
 
