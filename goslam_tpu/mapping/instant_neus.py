@@ -164,7 +164,10 @@ class InstantNeuS(nn.Module):
         depth_var = (((z_vals - depth) ** 2) * weights).sum(1, keepdims=True)
         normal = (grad * (weights * maskRS)[..., None]).sum(1)
 
-        grad_err = ((jnp.linalg.norm(grad, axis=-1) - 1.0) ** 2) * maskRS
+        # grad-safe norm: ||0|| has an undefined gradient that would leak
+        # NaN through the mask product in the backward pass
+        grad_norm = jnp.sqrt((grad ** 2).sum(-1) + 1e-12)
+        grad_err = ((grad_norm - 1.0) ** 2) * maskRS
 
         return {
             "color": color,                  # [R, 3]

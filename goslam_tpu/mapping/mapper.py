@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..ops import lie
 from ..utils.shapes import bucket
 from .instant_neus import InstantNeuS, compute_sdf_losses
 from .renderer import build_ray_dirs, render_rays
@@ -79,6 +80,9 @@ class Mapper:
         self.n_surface = r["N_surface"]
         self.perturb = r["perturb"]
 
+        self.enable_ba = m.get("BA", False)
+        self.ba_cam_lr = m.get("BA_cam_lr", 1e-3)
+
         self.key = jax.random.PRNGKey(seed)
         if params is None:
             k, self.key = jax.random.split(self.key)
@@ -97,6 +101,7 @@ class Mapper:
         self.np_rng = np.random.default_rng(seed)
 
         self._train_step = self._build_train_step()
+        self._train_step_ba = self._build_train_step_ba()
 
     # ------------------------------------------------------------------
     def _build_train_step(self):
@@ -145,6 +150,138 @@ class Mapper:
             return params, opt_state, metrics
 
         return step
+
+    # ------------------------------------------------------------------
+    def _build_train_step_ba(self):
+        """Joint map + camera refinement (mapping.py:173-194, 266-270):
+        per-keyframe se(3) deltas are optimized alongside the scene model
+        with a separate learning rate; rays are rebuilt inside the step so
+        gradients reach the poses.  As in the reference, the refined poses
+        only shape the map — they are not written back to the tracker."""
+        from ..ops import lie as lie_ops
+
+        model = self.model
+        tx = self.tx
+        cam_tx = optax.adam(self.ba_cam_lr)
+        w_color, w_sdf, w_eik = self.w_color, self.w_sdf, self.w_eik
+        uncertainty = self.uncertainty
+        trunc, sparse = self.truncation, self.sparse_factor
+        n_samples, n_surface, perturb = (self.n_samples, self.n_surface,
+                                         self.perturb)
+
+        @jax.jit
+        def step(params, deltas, opt_state, cam_state, key, c2w_base,
+                 frame_of_ray, dirs_cam, gt_color, gt_depth,
+                 bound, realtime_bound):
+            """c2w_base: [F, 7] base camera-to-world poses (lie 7-vec);
+            deltas: [F, 6] se3 increments; frame_of_ray: [R] int;
+            dirs_cam: [R, 3] camera-frame ray dirs."""
+            def loss_fn(p, d):
+                c2w = lie_ops.retr(c2w_base, d)
+                Gr = c2w[frame_of_ray]
+                rays_d = lie_ops.quat_rotate(Gr[:, 3:7], dirs_cam)
+                rays_o = Gr[:, 0:3]
+                ret = render_rays(model, p, key, rays_o, rays_d, gt_depth,
+                                  bound, realtime_bound, n_samples,
+                                  n_surface, perturb)
+                valid = (gt_depth > 0).astype(jnp.float32)
+                nv = jnp.maximum(valid.sum(), 1.0)
+                color_l = (jnp.abs(ret["color"] - gt_color).mean(-1)
+                           * valid).sum() / nv
+                uw = 1.0 / jnp.sqrt(
+                    jax.lax.stop_gradient(ret["depth_variance"][:, 0])
+                    + 1e-10)
+                if not uncertainty:
+                    uw = jnp.ones_like(uw)
+                depth_l = (jnp.abs(ret["depth"][:, 0] - gt_depth) * uw
+                           * valid).sum() / nv
+                sdf_l, front_l = compute_sdf_losses(
+                    ret["sdf"], ret["z_vals"], gt_depth, trunc, sparse)
+                eik_l = ret["gradient_error"].mean()
+                total = (color_l * w_color + depth_l
+                         + (sdf_l + front_l) * w_sdf + eik_l * w_eik)
+                return total, {"total": total, "color": color_l,
+                               "depth": depth_l, "sdf": sdf_l,
+                               "eikonal": eik_l}
+
+            (_, metrics), (gp, gd) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, deltas)
+            up, opt_state = tx.update(gp, opt_state, params)
+            params = optax.apply_updates(params, up)
+            upd, cam_state = cam_tx.update(gd, cam_state, deltas)
+            deltas = optax.apply_updates(deltas, upd)
+            return params, deltas, opt_state, cam_state, metrics
+
+        self._cam_tx = cam_tx
+        return step
+
+    # ------------------------------------------------------------------
+    def _sample_pixels(self, frames: list, n_per_frame: int):
+        """Masked pixel sampling returning per-ray (frame slot, camera-frame
+        dir, gt color/depth) plus per-slot base c2w — for the BA step."""
+        from ..ops import lie as lie_ops
+
+        video = self.video
+        H, W = video.ht, video.wd
+        fx, fy, cx, cy = np.asarray(video.intrinsics) * video.device_scale
+        dirs_cam = build_ray_dirs(H, W, fx, fy, cx, cy)
+
+        c2w_base, fo, dc, gc, gd = [], [], [], [], []
+        for slot, f in enumerate(frames):
+            image, depth, c2w, _, mask = video.get_mapping_item(
+                f, decay=self.decay)
+            m = np.array(mask) > 0
+            ys, xs = np.nonzero(m)
+            if len(ys) == 0:
+                continue
+            sel = self.np_rng.integers(0, len(ys), n_per_frame)
+            py = jnp.asarray(ys[sel])
+            px = jnp.asarray(xs[sel])
+            c2w_base.append(lie.from_matrix(jnp.asarray(c2w)))
+            fo.append(jnp.full((n_per_frame,), len(c2w_base) - 1,
+                               jnp.int32))
+            dc.append(dirs_cam[py, px])
+            gc.append(image[py, px])
+            gd.append(depth[py, px])
+        if not fo:
+            return None
+        return (jnp.stack(c2w_base), jnp.concatenate(fo),
+                jnp.concatenate(dc), jnp.concatenate(gc),
+                jnp.concatenate(gd))
+
+    def _optimize_ba(self, frames, n_per_frame, bound, realtime_bound,
+                     iters: int):
+        """Visit-phase optimization with camera refinement."""
+        from ..utils.shapes import bucket as _bucket
+
+        F = _bucket(len(frames), (8, 16, 24, 32, 48, 64))
+        deltas = jnp.zeros((F, 6), jnp.float32)
+        cam_state = self._cam_tx.init(deltas)
+        metrics = None
+        for _ in range(iters):
+            out = self._sample_pixels(frames, n_per_frame)
+            if out is None:
+                return None
+            c2w_base, fo, dc, gc, gd = out
+            if c2w_base.shape[0] < F:   # pad frame slots
+                pad = F - c2w_base.shape[0]
+                c2w_base = jnp.concatenate(
+                    [c2w_base, jnp.tile(lie.identity(), (pad, 1))])
+            R = fo.shape[0]
+            Rb = bucket(R)
+            if Rb != R:
+                pad = Rb - R
+                fo = jnp.concatenate([fo, fo[:pad]])
+                dc = jnp.concatenate([dc, dc[:pad]])
+                gc = jnp.concatenate([gc, gc[:pad]])
+                gd = jnp.concatenate([gd, jnp.zeros(pad, gd.dtype)])
+            self.global_step += 1
+            self.key, k = jax.random.split(self.key)
+            (self.params, deltas, self.opt_state, cam_state,
+             metrics) = self._train_step_ba(
+                self.params, deltas, self.opt_state, cam_state, k,
+                c2w_base, fo, dc, gc, gd, bound, realtime_bound)
+        return metrics
 
     # ------------------------------------------------------------------
     def _sample_rays(self, frames: list, n_per_frame: int):
@@ -237,13 +374,17 @@ class Mapper:
                     continue
                 metrics = self._optimize(batch, bound, realtime_bound, 1)
 
-        # revisit window
+        # revisit window — with optional joint camera refinement
         n_per = max(self.pixels // max(len(visit), 1), 1)
-        for _ in range(iters):
-            batch = self._sample_rays(visit, n_per)
-            if batch is None or batch[0].shape[0] < 100:
-                continue
-            metrics = self._optimize(batch, bound, realtime_bound, 1)
+        if self.enable_ba and self.last_visit >= 10 and visit:
+            metrics = self._optimize_ba(visit, n_per, bound,
+                                        realtime_bound, iters) or metrics
+        else:
+            for _ in range(iters):
+                batch = self._sample_rays(visit, n_per)
+                if batch is None or batch[0].shape[0] < 100:
+                    continue
+                metrics = self._optimize(batch, bound, realtime_bound, 1)
 
         self.init = False
         return metrics

@@ -295,3 +295,31 @@ def eval_mesh(est_verts, est_tris, gt_verts, gt_tris, n_points: int = 200000,
         "completion_ratio": 100 * recall,
         "f_score": 100 * f1,
     }
+
+
+def align_mesh_icp(est_verts, gt_verts, init=None, iters: int = 20,
+                   n_sample: int = 20000, rng=None):
+    """Rigid ICP alignment of est -> gt vertices (mesher.py:339-357,
+    replacing Open3D's ICP).  Returns the 4x4 transform."""
+    from scipy.spatial import cKDTree
+
+    from ..utils.evaluate import umeyama
+
+    rng = rng or np.random.default_rng(0)
+    T = np.eye(4) if init is None else np.asarray(init, np.float64).copy()
+    tree = cKDTree(gt_verts)
+    src0 = est_verts[rng.choice(len(est_verts),
+                                min(n_sample, len(est_verts)),
+                                replace=False)]
+    for _ in range(iters):
+        src = src0 @ T[:3, :3].T + T[:3, 3]
+        d, idx = tree.query(src, k=1)
+        keep = d < np.percentile(d, 80)          # trim outliers
+        s, R, t = umeyama(src[keep], gt_verts[idx[keep]], with_scale=False)
+        dT = np.eye(4)
+        dT[:3, :3] = R
+        dT[:3, 3] = t
+        T = dT @ T
+        if np.linalg.norm(dT[:3, 3]) < 1e-7:
+            break
+    return T

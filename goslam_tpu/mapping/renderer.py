@@ -85,3 +85,61 @@ def rays_from_pixels(c2w, dirs_cam, pix_y, pix_x):
     rays_d = d @ c2w[:3, :3].T
     rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
     return rays_o, rays_d
+
+
+def sample_pdf(key, bins, weights, n_samples: int):
+    """Importance sampling from a piecewise-constant pdf over bins
+    (nerf_func.py:224-253; latent API in the reference)."""
+    weights = weights + 1e-5
+    pdf = weights / weights.sum(-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
+    u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu))(cdf, u)
+    idx = jnp.clip(idx, 1, cdf.shape[-1] - 1)
+    c0 = jnp.take_along_axis(cdf, idx - 1, -1)
+    c1 = jnp.take_along_axis(cdf, idx, -1)
+    b0 = jnp.take_along_axis(bins, jnp.clip(idx - 1, 0, bins.shape[-1] - 1),
+                             -1)
+    b1 = jnp.take_along_axis(bins, jnp.clip(idx, 0, bins.shape[-1] - 1), -1)
+    t = jnp.where(c1 - c0 < 1e-8, 0.5, (u - c0) / jnp.maximum(c1 - c0, 1e-8))
+    return b0 + t * (b1 - b0)
+
+
+def render_img(model, params, c2w, H, W, fx, fy, cx, cy, bound,
+               realtime_bound, gt_depth=None, n_samples=24, n_surface=48,
+               ray_chunk: int = 4096):
+    """Full-image rendering in ray chunks (render.py:177-235).
+
+    Returns dict of [H, W, ...] images (color, depth, depth_variance,
+    normal, weight_sum).
+    """
+    import numpy as np
+
+    dirs = build_ray_dirs(H, W, fx, fy, cx, cy).reshape(-1, 3)
+    R3 = jnp.asarray(c2w[:3, :3])
+    rays_d_all = dirs @ R3.T
+    rays_o_all = jnp.broadcast_to(jnp.asarray(c2w[:3, 3]), rays_d_all.shape)
+    gt = jnp.zeros((H * W,)) if gt_depth is None \
+        else jnp.asarray(gt_depth).reshape(-1)
+
+    outs = {}
+    key = jax.random.PRNGKey(0)
+    n = H * W
+    for i in range(0, n, ray_chunk):
+        sl = slice(i, min(i + ray_chunk, n))
+        ro, rd, g = rays_o_all[sl], rays_d_all[sl], gt[sl]
+        if ro.shape[0] < ray_chunk:   # pad tail to reuse the jit
+            pad = ray_chunk - ro.shape[0]
+            ro = jnp.concatenate([ro, ro[:pad]])
+            rd = jnp.concatenate([rd, rd[:pad]])
+            g = jnp.concatenate([g, jnp.zeros(pad)])
+        ret = render_rays(model, params, key, ro, rd, g, bound,
+                          realtime_bound, n_samples, n_surface, 0.0)
+        k = sl.stop - sl.start
+        for name in ("color", "depth", "depth_variance", "normal",
+                     "weight_sum"):
+            outs.setdefault(name, []).append(np.asarray(ret[name])[:k])
+    import numpy as np
+    return {k: np.concatenate(v).reshape((H, W) + v[0].shape[1:])
+            for k, v in outs.items()}

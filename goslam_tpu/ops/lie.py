@@ -154,15 +154,19 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
     tau = xi[..., 0:3]
     phi = xi[..., 3:6]
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta_sq)
+
+    # grad-safety: sqrt'(0) = inf leaks NaN through the untaken where
+    # branch, so the exact branch must never see theta_sq == 0
+    small = theta_sq < _EPS_TAYLOR
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(safe_sq)
 
     # quaternion from phi (expSO3)
-    small = theta_sq < _EPS_TAYLOR
     theta_p4 = theta_sq * theta_sq
     imag = jnp.where(
         small,
         0.5 - theta_sq / 48.0 + theta_p4 / 3840.0,
-        jnp.sin(0.5 * theta) / jnp.where(small, 1.0, theta),
+        jnp.sin(0.5 * theta) / theta,
     )
     real = jnp.where(
         small,
@@ -172,12 +176,12 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
     q = jnp.concatenate([imag * phi, real], axis=-1)
 
     # t = V(phi) tau with V = I + a [phi]_x + b [phi]_x^2
-    safe_sq = jnp.where(small, 1.0, theta_sq)
-    a = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / safe_sq)
+    a = jnp.where(small, 0.5 - theta_sq / 24.0,
+                  (1.0 - jnp.cos(theta)) / safe_sq)
     b = jnp.where(
         small,
         1.0 / 6.0 - theta_sq / 120.0,
-        (theta - jnp.sin(theta)) / jnp.where(small, 1.0, theta * safe_sq),
+        (theta - jnp.sin(theta)) / (theta * safe_sq),
     )
     c1 = jnp.cross(phi, tau)
     c2 = jnp.cross(phi, c1)
@@ -193,24 +197,24 @@ def log(pose: jnp.ndarray) -> jnp.ndarray:
     q = jnp.where(q[..., 3:4] < 0, -q, q)
     qv = q[..., :3]
     qw = jnp.clip(q[..., 3:4], -1.0, 1.0)
-    nv = jnp.linalg.norm(qv, axis=-1, keepdims=True)
-    theta = 2.0 * jnp.arctan2(nv, qw)
-    small = nv < 1e-6
-    scale = jnp.where(small, 2.0 + theta * theta / 12.0,
-                      theta / jnp.where(small, 1.0, nv))
+    nv_sq = jnp.sum(qv * qv, axis=-1, keepdims=True)
+    small = nv_sq < 1e-12
+    nv = jnp.sqrt(jnp.where(small, 1.0, nv_sq))     # grad-safe sqrt
+    theta = 2.0 * jnp.arctan2(jnp.where(small, 0.0, nv), qw)
+    scale = jnp.where(small, 2.0 + theta * theta / 12.0, theta / nv)
     phi = scale * qv
 
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
-    th = jnp.sqrt(theta_sq)
     small2 = theta_sq < _EPS_TAYLOR
     safe_sq = jnp.where(small2, 1.0, theta_sq)
+    th = jnp.sqrt(safe_sq)
     # V^{-1} = I - 1/2 [phi]_x + cc [phi]_x^2
     half_th = 0.5 * th
     cot_term = jnp.where(
         small2,
         1.0 / 12.0 + theta_sq / 720.0,
-        (1.0 - half_th * jnp.cos(half_th) / jnp.where(small2, 1.0, jnp.sin(half_th)))
-        / safe_sq,
+        (1.0 - half_th * jnp.cos(half_th)
+         / jnp.where(small2, 1.0, jnp.sin(half_th))) / safe_sq,
     )
     c1 = jnp.cross(phi, t)
     c2 = jnp.cross(phi, c1)

@@ -207,6 +207,17 @@ class FactorGraph:
         self.valid[:] = False
         self.valid_inac[:] = False
 
+    def print_edges(self):
+        """Debug dump of the active edge set (factor_graph.py:56-69)."""
+        import numpy as _np
+        sel = _np.where(self.valid)[0]
+        order = sel[_np.argsort(self.ii[sel])]
+        w = _np.asarray(jnp.mean(self.weight, axis=(1, 2, 3)))
+        msg = "INFO: Edges of Graph:\n Start  End    Weight\n"
+        for k in order:
+            msg += f" {self.ii[k]:05d}, {self.jj[k]:05d}, {w[k]:.4f}\n"
+        print(msg)
+
     def filter_edges(self):
         """Drop long-range edges whose mean confidence collapsed
         (factor_graph.py:71-78)."""

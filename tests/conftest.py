@@ -37,7 +37,38 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-
 @pytest.fixture
 def rng():
     return np.random.default_rng(43)
+
+
+# ---------------------------------------------------------------------------
+# Retry transient TPU-tunnel failures: the axon remote-compile channel
+# occasionally drops a request ("response body closed", HTTP 500 from
+# tpu_compile_helper). Those are infrastructure flakes, not test failures —
+# retry the test once when the error signature matches.
+# ---------------------------------------------------------------------------
+
+_TRANSIENT = ("remote_compile", "response body closed",
+              "tpu_compile_helper", "DEADLINE_EXCEEDED")
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    outcome = yield
+    report = outcome.get_result()
+    if report.when != "call" or not report.failed:
+        return
+    text = str(call.excinfo.value) if call.excinfo else ""
+    if not any(sig in text for sig in _TRANSIENT):
+        return
+    if getattr(item, "_transient_retried", False):
+        return
+    item._transient_retried = True
+    print(f"\nRETRY (transient tunnel error): {item.nodeid}")
+    try:
+        item.runtest()
+        report.outcome = "passed"
+        report.longrepr = None
+    except Exception:  # noqa: BLE001 — keep the original failure report
+        pass

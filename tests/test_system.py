@@ -1,0 +1,142 @@
+"""System-level smoke tests: full pipeline over the synthetic dataset,
+stereo machinery, mapper pose-BA path, checkpoint roundtrip."""
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from goslam_tpu.config import default_config, load_config, update_recursive
+from goslam_tpu.data.synthetic import Synthetic
+from goslam_tpu.system import SLAMSystem, init_params
+
+HT, WD = 64, 96
+
+
+def demo_cfg(**over):
+    cfg = default_config()
+    update_recursive(cfg, {
+        "dataset": "synthetic",
+        "mode": "rgbd",
+        "cam": {"H": HT, "W": WD, "H_out": HT, "W_out": WD,
+                "H_edge": 0, "W_edge": 0},
+        "data": {"input_folder": "", "n_frames": 14, "output": ""},
+        "tracking": {
+            "buffer": 32, "warmup": 4, "upsample": False,
+            "motion_filter": {"thresh": -1.0},
+            "frontend": {"window": 6, "max_factors": 24,
+                         "enable_loop": False, "keyframe_thresh": 0.0},
+            "global_ba_every": 0,
+        },
+        "mapping": {"mapping_every": 4, "pixels": 512,
+                    "mapping_window_size": 6},
+        "rendering": {"N_samples": 8, "N_surface": 16},
+        "meshing": {"resolution": 64},
+    })
+    update_recursive(cfg, over)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(ht=HT, wd=WD)
+
+
+def test_full_pipeline_smoke(params, tmp_path):
+    """Tracking + multiview filter + mapping + terminate on synthetic
+    RGB-D; artifacts written, everything finite."""
+    cfg = demo_cfg()
+    cfg["data"]["output"] = str(tmp_path)
+    ds = Synthetic(cfg)
+    slam = SLAMSystem(cfg, params=params, output=str(tmp_path))
+
+    for i in range(len(ds)):
+        idx, img, depth, intr, gt = ds[i]
+        slam.track(float(i), img, depth, intr, gt)
+
+    assert slam.video.counter >= 4
+    assert np.isfinite(
+        np.asarray(slam.video.poses[:slam.video.counter])).all()
+
+    def stream():
+        for i in range(len(ds)):
+            idx, img, depth, intr, gt = ds[i]
+            yield float(i), img, depth, intr, gt
+
+    metrics = slam.terminate(stream=stream())
+    assert "ate" in metrics
+    assert os.path.exists(tmp_path / "est_poses.npy")
+    assert os.path.exists(tmp_path / "metrics_traj.txt")
+    assert os.path.exists(tmp_path / "go.ckpt")
+    # trajectory covers every input frame
+    poses = np.load(tmp_path / "est_poses.npy")
+    assert poses.shape == (len(ds), 4, 4)
+
+
+def test_checkpoint_roundtrip(params, tmp_path):
+    cfg = demo_cfg()
+    slam = SLAMSystem(cfg, params=params, output=str(tmp_path))
+    ds = Synthetic(cfg)
+    for i in range(6):
+        idx, img, depth, intr, gt = ds[i]
+        slam.track(float(i), img, depth, intr, gt)
+    p = str(tmp_path / "ck.pkl")
+    slam.save_checkpoint(p)
+
+    slam2 = SLAMSystem(cfg, params=params, output=str(tmp_path))
+    slam2.load_checkpoint(p)
+    assert slam2.video.counter == slam.video.counter
+    np.testing.assert_allclose(
+        np.asarray(slam2.video.poses[:slam2.video.counter]),
+        np.asarray(slam.video.poses[:slam.video.counter]), atol=1e-6)
+
+
+def test_stereo_machinery(params):
+    """Stereo mode: rig-2 images, stereo self-edges, finite BA."""
+    cfg = demo_cfg()
+    cfg["mode"] = "stereo"
+    slam = SLAMSystem(cfg, params=params, only_tracking=True)
+    rng = np.random.default_rng(3)
+    base = rng.random((HT, WD, 3)).astype(np.float32)
+    intr = np.asarray([80.0, 80.0, WD / 2, HT / 2], np.float32)
+    for k in range(6):
+        left = np.roll(base, 2 * k, axis=1)
+        right = np.roll(base, 2 * k + 1, axis=1)   # fake baseline shift
+        img = jnp.asarray(np.stack([left, right]))
+        slam.track(float(k), img, None, intr)
+    assert slam.video.counter >= 4
+    assert slam.video.rig == 2
+    # stereo self-edges present in the frontend graph
+    g = slam.frontend.graph
+    assert ((g.ii[g.valid] == g.jj[g.valid]).any())
+    assert np.isfinite(
+        np.asarray(slam.video.poses[:slam.video.counter])).all()
+
+
+def test_mapper_pose_ba_path(params):
+    """mapping.BA=True exercises the joint camera-refinement step."""
+    from goslam_tpu.mapping.mapper import Mapper
+    from goslam_tpu.tracking.video import VideoBuffer
+
+    cfg = demo_cfg()
+    cfg["mapping"]["BA"] = True
+    v = VideoBuffer(buffer=16, ht=HT, wd=WD)
+    v.intrinsics = jnp.asarray([10.0, 10.0, 6.0, 4.0])
+
+    rng = np.random.default_rng(0)
+    # fabricate filtered state for 14 keyframes
+    n = 14
+    v.counter = n
+    v.filtered_id = n
+    v.disps_filtered = v.disps_filtered.at[:n].set(0.5)
+    v.mask_filtered = v.mask_filtered.at[:n].set(1.0)
+    v.images = v.images.at[:n].set(
+        jnp.asarray(rng.random((n, HT, WD, 3)).astype(np.float32)))
+    v.bound = np.asarray([[-3, 3], [-3, 3], [-3, 3]], np.float32)
+
+    m = Mapper(v, cfg)
+    m.last_visit = 12          # enables the BA branch (needs >= 10)
+    out = m()
+    assert out is not None
+    assert np.isfinite(float(out["total"]))
