@@ -23,6 +23,14 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# the axon site hook calls register(), which force-sets
+# jax_platforms="axon,cpu" even when JAX_PLATFORMS=cpu is in the env —
+# honor the caller's explicit CPU request so the virtual 8-device mesh
+# (sharding tests) actually materializes
+if (os.environ.get("JAX_PLATFORMS") == "cpu"
+        and "axon" in (jax.config.jax_platforms or "")):
+    jax.config.update("jax_platforms", "cpu")
+
 # persistent compile cache — compiles on this box are slow (1 CPU core,
 # tunneled TPU); cache them across test runs
 jax.config.update("jax_compilation_cache_dir",
