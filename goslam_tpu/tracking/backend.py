@@ -62,11 +62,16 @@ class Backend:
                   max(0, dj - nms):dj + nms + 1] = np.inf
 
         order = np.argsort(d, axis=None)
+        snap = d.reshape(-1)[order]
+        order = order[snap <= thresh]  # snapshot filter (backend.py:62-64)
         n_neigh = 1
         for k in order:
             di, dj = k // jlen, k % jlen
-            if not np.isfinite(d[di, dj]) or d[di, dj] > thresh:
-                break
+            if d[di, dj] > thresh:
+                # NMS-suppressed after the sort snapshot: skip this
+                # candidate, keep scanning (backend.py:67-72 `continue`s;
+                # breaking here starved the loop/proximity graph)
+                continue
             if len(es) > max_factors:
                 break
             i, j = di + t_start_loop, dj + t_start
@@ -108,9 +113,13 @@ class Backend:
         graph.add_factors(ii, jj, remove=True)
         edge_num = graph.n_edges()
 
+        # ba_type is 'dense' even for loop closing: the reference's
+        # Backend.ba hardcodes it (backend.py:112), so loop BA runs with
+        # the dense damping regime lm=1e-5/ep=1e-2 (factor_graph.py:313-318
+        # selects on ba_type, and 'loop' is never passed from the backend)
         graph.update_lowmem(
             t0=t_start_loop + 1, t1=t_end, iters=2, steps=steps,
-            max_t=t_end, ba_type="loop" if loop else "dense",
+            max_t=t_end, ba_type="dense",
             motion_only=motion_only)
 
         graph.clear_edges()

@@ -283,14 +283,17 @@ class FactorGraph:
                   max(0, dj - nms):dj + nms + 1] = np.inf
 
         order = np.argsort(d, axis=None)
+        snap = d.reshape(-1)[order]
+        order = order[snap <= thresh]  # snapshot filter (factor_graph.py:427-429)
         for k in order:
-            if d.flat[k] > thresh:
-                break
+            di, dj = k // jlen, k % jlen
+            if d[di, dj] > thresh:
+                # NMS-suppressed after the sort snapshot: skip, don't
+                # terminate (factor_graph.py:431-436 `continue`s; breaking
+                # here made proximity graphs far sparser than the reference)
+                continue
             if len(es) > self.max_factors:
                 break
-            di, dj = k // jlen, k % jlen
-            if not np.isfinite(d[di, dj]):
-                continue
             es.append((di + t0, dj + t1))
             es.append((dj + t1, di + t0))
             d[max(0, di - nms):di + nms + 1,
@@ -411,6 +414,10 @@ class FactorGraph:
         deg = int(np.bincount(ii_all, minlength=1).max()) if len(ii_all) \
             else 1
         max_deg = bucket(deg, (4, 8, 12, 16, 24, 32, 48, 64, 96, 128))
+        # large optimization windows use the matrix-free PCG solver
+        # (validated against chol in tests/test_dba.py); the dense-Cholesky
+        # solve dominates beyond a few hundred poses
+        solver = "cg" if P >= 192 else "chol"
 
         out = _lowmem_kernel(
             P, self.cap, self.chunk, nchunks, max_deg,
@@ -422,7 +429,7 @@ class FactorGraph:
             jnp.asarray(self.ii), jnp.asarray(self.jj),
             jnp.asarray(ii_r), jnp.asarray(jj_r),
             jnp.asarray(self.valid),
-            base, t0, t1, iters, lm, ep, motion_only)
+            base, t0, t1, iters, lm, ep, motion_only, solver=solver)
         (self.video.poses, self.video.disps, self.video.damping,
          self.net, self.target, self.weight) = out
 
@@ -545,12 +552,14 @@ def _update_kernel(P, cap, cap_inac, upsample, max_deg, params,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "P", "cap", "chunk", "nchunks", "max_deg", "iters", "motion_only"))
+    "P", "cap", "chunk", "nchunks", "max_deg", "iters", "motion_only",
+    "solver"))
 def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, params,
                    poses, disps, disps_sens, damping, intrinsics, inps_v,
                    fmaps, net, target, weight,
                    ii, jj, ii_r, jj_r, valid,
-                   base, t0, t1, iters, lm, ep, motion_only):
+                   base, t0, t1, iters, lm, ep, motion_only,
+                   solver="chol"):
     """One step of the low-memory path: alt-corr GRU over edge chunks,
     then full-window DBA (factor_graph.py:272-318)."""
     h8, w8 = disps.shape[-2:]
@@ -616,7 +625,8 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, params,
     poses_w, disps_w = dba.ba(
         poses_w, disps_w, intrinsics, sens_w, target, weight, eta_ba,
         ii_local, jj_local, valid, t0 - base, t1 - base, iters=iters,
-        lm=lm, ep=ep, motion_only=motion_only, max_deg=max_deg)
+        lm=lm, ep=ep, motion_only=motion_only, max_deg=max_deg,
+        solver=solver, cg_iters=32)
 
     poses = jax.lax.dynamic_update_slice(poses, poses_w, (base, 0))
     disps = jax.lax.dynamic_update_slice(disps, disps_w, (base, 0, 0))
