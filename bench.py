@@ -1,15 +1,21 @@
-"""Headline benchmark: online full bundle adjustment throughput.
+"""Headline benchmarks against BASELINE.md's north stars.
 
-The reference's headline scaling claim is online full BA with loop closure
-over thousands of keyframes (README.md:240, scene0054_00 with 6,629
-frames); BASELINE.md sets the target "2,000 keyframes in < 1 s on v5e".
-This benchmark runs the complete DBA pipeline (system build + Schur +
-on-device Cholesky + retractions, 6 GN steps x 2 inner iterations — the
-reference's per-trigger work, slam.py:85 / backend.py:106-114) over 2,048
-keyframes at the reference's 1/8-res ScanNet geometry (30x40) with its
-backend edge density ((radius+2)*2 edges/frame, backend.py:131).
+1. Online full bundle adjustment: the reference's headline scaling claim
+   is online full BA with loop closure over thousands of keyframes
+   (README.md:240, scene0054_00 with 6,629 frames); BASELINE.md sets the
+   target "2,000 keyframes in < 1 s on v5e".  This runs the complete DBA
+   pipeline over 2,048 keyframes at the reference's 1/8-res ScanNet
+   geometry (30x40) with backend edge density ((radius+2)*2 edges/frame,
+   backend.py:131), 6 GN steps x 2 inner iterations per trigger
+   (slam.py:85) — with EXACTLY the solver configuration the runtime's
+   update_lowmem selects at this scale (factor_graph.py: CG for P >= 192,
+   Pallas fused edge build on TPU).
 
-Prints ONE JSON line: seconds per full-BA trigger, vs_baseline = 1s / ours.
+2. Tracked FPS: motion filter + frontend update over synthetic frames at
+   ScanNet geometry (BASELINE.md: >= 30 FPS target).
+
+Prints ONE JSON line (full-BA trigger as the headline metric; tracked FPS
+attached as extra keys).
 """
 import json
 import sys
@@ -21,21 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def main():
+def bench_full_ba():
     import jax
     import jax.numpy as jnp
-
-    cache = os.path.expanduser("~/.jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
     from goslam_tpu.ops import dba, lie, projective
 
     P, ht, wd = 2048, 30, 40
     radius = 1
     rng = np.random.default_rng(0)
 
-    # smooth synthetic trajectory + depths
     xi = np.cumsum(0.01 * rng.standard_normal((P, 6)).astype(np.float32),
                    axis=0)
     poses = jax.vmap(lie.exp)(jnp.asarray(xi))
@@ -58,13 +58,17 @@ def main():
     eta = jnp.full((P, ht, wd), 1e-4, jnp.float32)
     valid = jnp.ones((E,), bool)
 
+    # mirror the runtime's solver selection (factor_graph._lowmem_step)
+    solver = "cg" if P >= 192 else "chol"
+
     def trigger(poses, disps):
-        """One full-BA trigger: 6 GN steps x iters=2 (slam.py:85)."""
+        """One full-BA trigger: 6 GN steps x iters=2 (slam.py:85),
+        dense-BA damping regime (factor_graph.py:313-318)."""
         for _ in range(6):
             poses, disps = dba.ba(poses, disps, intr,
                                   jnp.zeros_like(disps), target, weight,
                                   eta, ii, jj, valid, 1, P, iters=2,
-                                  lm=1e-5, ep=1e-2, solver="cg",
+                                  lm=1e-5, ep=1e-2, solver=solver,
                                   cg_iters=32)
         return poses, disps
 
@@ -82,14 +86,72 @@ def main():
         float(out[1].sum())
         times.append(time.time() - t0)
 
-    secs = float(np.median(times))
+    return P, E, float(np.median(times))
+
+
+def bench_tracked_fps(n_frames: int = 48, warmup: int = 12):
+    """Per-frame tracking throughput: motion filter + frontend over
+    synthetic frames at ScanNet geometry (240x320), mapping off."""
+    from goslam_tpu.config import default_config
+    from goslam_tpu.data.synthetic import Synthetic
+    from goslam_tpu.system import SLAMSystem
+    from goslam_tpu.config import update_recursive
+
+    cfg = default_config()
+    update_recursive(cfg, {
+        "dataset": "synthetic", "mode": "rgbd",
+        "cam": {"H": 240, "W": 320, "H_out": 240, "W_out": 320,
+                "H_edge": 0, "W_edge": 0,
+                "fx": 290.0, "fy": 290.0, "cx": 160.0, "cy": 120.0},
+        "data": {"input_folder": "", "n_frames": n_frames,
+                 "output": "/tmp/bench_tracking", "room_half_size": 3.0},
+        "tracking": {"global_ba_every": 0},
+    })
+    ds = Synthetic(cfg)
+    frames = [ds[i] for i in range(n_frames)]          # pre-render
+
+    slam = SLAMSystem(cfg, output="/tmp/bench_tracking",
+                      only_tracking=True)
+    for i in range(warmup):
+        idx, img, depth, intr, gt = frames[i]
+        slam.track(float(i), img, depth, intr, gt)
+
+    t0 = time.time()
+    for i in range(warmup, n_frames):
+        idx, img, depth, intr, gt = frames[i]
+        slam.track(float(i), img, depth, intr, gt)
+    # materialize device state (tunnel-safe sync)
+    float(slam.video.poses[:max(slam.video.counter, 1)].sum())
+    dt = time.time() - t0
+    return (n_frames - warmup) / dt
+
+
+def main():
+    import jax
+    cache = os.path.expanduser("~/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    P, E, secs = bench_full_ba()
+
+    try:
+        fps = bench_tracked_fps()
+    except Exception as e:  # noqa: BLE001 — FPS is auxiliary
+        print(f"WARN tracked-FPS bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        fps = None
+
     baseline = 1.0  # BASELINE.md: 2k keyframes < 1 s per trigger
-    print(json.dumps({
+    out = {
         "metric": f"full_BA_trigger_seconds_{P}kf_{E}edges",
         "value": round(secs, 4),
         "unit": "s",
         "vs_baseline": round(baseline / secs, 3),
-    }))
+    }
+    if fps is not None:
+        out["tracked_fps"] = round(fps, 2)
+        out["tracked_fps_vs_target30"] = round(fps / 30.0, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -274,12 +274,12 @@ def _inv6(blocks):
 @functools.partial(
     jax.jit,
     static_argnames=("iters", "motion_only", "max_deg", "solver",
-                     "cg_iters"),
+                     "cg_iters", "fused"),
 )
 def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
        valid, t0, t1, iters: int = 2, lm: float = 1e-4, ep: float = 0.1,
        motion_only: bool = False, max_deg: int = 24, solver: str = "chol",
-       cg_iters: int = 64):
+       cg_iters: int = 64, fused: bool | None = None):
     """Run `iters` Gauss-Newton steps of dense bundle adjustment.
 
     All arrays are *local-window* views with static shapes; `t0`/`t1` are
@@ -298,6 +298,11 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
     hw = ht * wd
     lm = jnp.asarray(lm, jnp.float32)
     ep = jnp.asarray(ep, jnp.float32)
+
+    if fused is None:
+        # the Pallas build runs on TPU; CPU (tests, virtual meshes) uses
+        # the XLA expression
+        fused = jax.default_backend() == "tpu"
 
     P6 = P * 6
     frames = jnp.arange(P)
@@ -421,8 +426,13 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
 
     def step(_, state):
         poses, disps = state
-        sys = build_edge_system(poses, disps, intrinsics, target, weight,
-                                ii, jj, valid)
+        if fused:
+            from .pallas_kernels import build_edge_system_fused
+            sys = EdgeSystem(*build_edge_system_fused(
+                poses, disps, intrinsics, target, weight, ii, jj, valid))
+        else:
+            sys = build_edge_system(poses, disps, intrinsics, target,
+                                    weight, ii, jj, valid)
 
         gi = pose_mask[ii].astype(jnp.float32)
         gj = pose_mask[jj].astype(jnp.float32)

@@ -149,3 +149,35 @@ def test_zero_weight_is_noop(rng):
                           ii, jj, jnp.ones(E, bool), t0=1, t1=P, iters=2)
     np.testing.assert_allclose(np.asarray(poses), np.asarray(gt_poses),
                                atol=1e-5)
+
+
+def test_cg_solver_matches_cholesky(rng):
+    """The matrix-free PCG path must agree with the dense Cholesky path on
+    the same GN problem (both as one-shot solves and after convergence) —
+    prerequisite for the runtime using solver='cg' at backend scale."""
+    poses_gt, disps_gt = make_gt(rng)
+    ii, jj = all_edges()
+    target, _ = projective.transform(poses_gt, disps_gt, INTR, ii, jj)
+    weight = jnp.asarray(
+        0.5 + 0.5 * rng.random(target.shape).astype(np.float32))
+    eta = jnp.full((P, HT, WD), 1e-4, jnp.float32)
+    valid = jnp.ones(ii.shape, bool)
+
+    poses0 = perturb(rng, poses_gt, 0.02)
+    disps0 = disps_gt + 0.05
+
+    args = (poses0, disps0, INTR, jnp.zeros_like(disps0), target, weight,
+            eta, ii, jj, valid, 1, P)
+    for iters in (1, 4):
+        p_ch, d_ch = dba.ba(*args, iters=iters, solver="chol")
+        p_cg, d_cg = dba.ba(*args, iters=iters, solver="cg", cg_iters=64)
+        np.testing.assert_allclose(np.asarray(p_cg), np.asarray(p_ch),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(d_cg), np.asarray(d_ch),
+                                   atol=2e-4)
+    # and with the dense-BA damping regime CG converges toward the ground
+    # truth exactly as well as chol does
+    p_ch, _ = dba.ba(*args, iters=6, solver="chol", lm=1e-5, ep=1e-2)
+    p_cg, _ = dba.ba(*args, iters=6, solver="cg", lm=1e-5, ep=1e-2)
+    e_ch, e_cg = pose_err(p_ch, poses_gt), pose_err(p_cg, poses_gt)
+    assert e_cg < 1.05 * e_ch + 1e-6, (e_cg, e_ch)

@@ -1,0 +1,81 @@
+"""Fused Pallas edge-system build must match the XLA reference expression
+(dba.build_edge_system) bit-for-tolerance. Runs in interpreter mode on CPU;
+the real-TPU path is exercised by bench.py and the SLAM runtime."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from goslam_tpu.ops import dba, lie
+from goslam_tpu.ops.pallas_kernels import build_edge_system_fused
+
+pytestmark = pytest.mark.quick
+
+
+def _problem(rng, Pn=6, ht=8, wd=16, stereo_edge=True):
+    poses = jax.vmap(lie.exp)(
+        jnp.asarray(0.05 * rng.standard_normal((Pn, 6)), jnp.float32))
+    disps = jnp.asarray(0.4 + 0.3 * rng.random((Pn, ht, wd)), jnp.float32)
+    intr = jnp.asarray([12.0, 13.0, wd / 2, ht / 2], jnp.float32)
+    ii = np.array([0, 1, 2, 3, 4, 5, 2, 3], np.int32)
+    jj = np.array([1, 2, 3, 4, 5, 0, 4, 1], np.int32)
+    if stereo_edge:
+        ii = np.concatenate([ii, [0]]).astype(np.int32)
+        jj = np.concatenate([jj, [0]]).astype(np.int32)
+    valid = np.ones(len(ii), bool)
+    valid[3] = False
+    E = len(ii)
+    tgt = jnp.asarray(rng.random((E, ht, wd, 2)).astype(np.float32) * wd)
+    wgt = jnp.asarray(rng.random((E, ht, wd, 2)).astype(np.float32))
+    return poses, disps, intr, tgt, wgt, ii, jj, valid
+
+
+@pytest.mark.parametrize("eb", [4, 8])
+def test_fused_edge_system_matches_xla(rng, eb):
+    with jax.default_matmul_precision("highest"):
+        poses, disps, intr, tgt, wgt, ii, jj, valid = _problem(rng)
+        ref = dba.build_edge_system(poses, disps, intr, tgt, wgt,
+                                    jnp.asarray(ii), jnp.asarray(jj),
+                                    jnp.asarray(valid))
+        out = build_edge_system_fused(
+            poses, disps, intr, tgt, wgt, jnp.asarray(ii),
+            jnp.asarray(jj), jnp.asarray(valid), eb=eb, interpret=True)
+    for name, a, b in zip(ref._fields, out, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5,
+                                   err_msg=name)
+
+
+def test_fused_ba_matches_reference_solver(rng):
+    """dba.ba(fused=True, interpret path) == dba.ba(fused=False)."""
+    from goslam_tpu.ops import projective
+
+    poses, disps, intr, tgt, wgt, ii, jj, valid = _problem(
+        rng, stereo_edge=False)
+    Pn = poses.shape[0]
+    coords, _ = projective.transform(poses, disps, intr,
+                                     jnp.asarray(ii), jnp.asarray(jj))
+    tgt = coords + 0.5
+    eta = jnp.full(disps.shape, 1e-4, jnp.float32)
+    args = (poses, disps, intr, jnp.zeros_like(disps), tgt, wgt, eta,
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(valid), 1, Pn)
+    p_ref, d_ref = dba.ba(*args, iters=2, fused=False)
+
+    import goslam_tpu.ops.pallas_kernels as pk
+    orig = pk.build_edge_system_fused
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    pk.build_edge_system_fused = interp
+    try:
+        p_f, d_f = dba.ba(*args, iters=2, fused=True)
+    finally:
+        pk.build_edge_system_fused = orig
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_ref),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref),
+                               atol=5e-4)
