@@ -5,10 +5,11 @@ pipeline:
   * SDF field evaluation in jitted 64^3 chunks (InstantNeuS.py:422-455)
   * iso-surface via the native marching-tetrahedra extension
     (goslam_tpu/native, replacing mcubes)
-  * culling: scene-bound cull -> per-keyframe frustum + depth-occlusion
-    cull (using the multiview-filtered depth maps as the visibility oracle,
-    replacing the reference's pyrender offscreen render, mesher.py:56-136)
-    -> small-connected-component removal (mesher.py:140-153)
+  * culling: OBB/bound cull -> frustum + depth-occlusion cull against the
+    extracted mesh's OWN rendered depth (native z-buffer rasterizer
+    replacing pyrender, mesher.py:56-136,444-480) -> connected-component
+    removal by area (mesher.py:140-153) -> forecast mesh
+    (mesher.py:210-240)
   * evaluation: accuracy / completion (cm), ratios and F-score @5cm on
     200k sampled surface points (mesher.py:390-421) via cKDTree
   * PLY export without external mesh libraries
@@ -110,42 +111,11 @@ def cull_by_bound(verts, tris, bound, eps: float = 0.01):
     return _compact(verts, tris[keep])
 
 
-def cull_by_visibility(verts, tris, poses_w2c, depths, masks, intrinsics,
-                       ht: int, wd: int, depth_slack: float = 0.08,
-                       forecast_radius: int = 0):
-    """Keep faces seen unoccluded by at least one keyframe (mesher.py:56-136,
-    with the filtered keyframe depths as the occlusion oracle instead of a
-    pyrender pass over the extracted mesh)."""
-    from ..ops import lie
-
-    fx, fy, cx, cy = np.asarray(intrinsics, np.float32)
-    visible = np.zeros(len(verts), bool)
-
-    R_all = np.asarray(lie.quat_to_matrix(jnp.asarray(poses_w2c[:, 3:])))
-    t_all = poses_w2c[:, :3]
-
-    for k in range(len(poses_w2c)):
-        pc = verts @ R_all[k].T + t_all[k]
-        z = pc[:, 2]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            u = fx * pc[:, 0] / z + cx
-            v = fy * pc[:, 1] / z + cy
-        r = forecast_radius
-        inb = (z > 0.01) & (u >= -r) & (u < wd + r) & (v >= -r) & (v < ht + r)
-        ui = np.clip(np.round(u).astype(np.int64), 0, wd - 1)
-        vi = np.clip(np.round(v).astype(np.int64), 0, ht - 1)
-        d_ref = depths[k][vi, ui]
-        m_ref = masks[k][vi, ui] > 0
-        unocc = (d_ref <= 0) | (z <= d_ref + depth_slack)
-        visible |= inb & unocc & (m_ref | (d_ref <= 0))
-
-    keep = visible[tris].all(axis=1)
-    return _compact(verts, tris[keep])
-
-
-def cull_small_components(verts, tris, min_area_ratio: float = 0.2):
-    """Remove connected components whose face count is below
-    min_area_ratio of the total (mesher.py:140-153)."""
+def cull_small_components(verts, tris, min_area_ratio: float = 0.2,
+                          get_largest: bool = False):
+    """Connected-component culling by surface AREA (mesher.py:140-153,
+    get_connected_mesh): either keep only the largest component, or drop
+    components whose area is below min_area_ratio of the total."""
     if len(tris) == 0:
         return verts, tris
     from scipy.sparse import coo_matrix
@@ -156,10 +126,127 @@ def cull_small_components(verts, tris, min_area_ratio: float = 0.2):
                      shape=(len(verts), len(verts)))
     n_comp, labels = connected_components(adj, directed=False)
     face_labels = labels[tris[:, 0]]
-    counts = np.bincount(face_labels, minlength=n_comp)
-    big = counts >= min_area_ratio * len(tris)
-    keep = big[face_labels]
+    a, b, c = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    face_area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    areas = np.bincount(face_labels, weights=face_area, minlength=n_comp)
+    if get_largest:
+        keep = face_labels == areas.argmax()
+    else:
+        big = areas > min_area_ratio * areas.sum()
+        keep = big[face_labels]
     return _compact(verts, tris[keep])
+
+
+def point_masks(points, depth_list, c2w_list, intrinsics, ht: int, wd: int,
+                forecast_radius: float = 0.0, eps: float = 0.05):
+    """Seen / forecast masks per vertex against rendered mesh depth
+    (mesher.py:56-136): a point is *seen* if some camera has it inside the
+    frustum and not behind the mesh's own rendered depth (+eps); the
+    *forecast* mask additionally admits points within `forecast_radius`
+    pixels outside the image border. Pixels where the render hit nothing
+    count as visible (mesher.py:120-121 `torch.where(depth>0, ..., True)`).
+
+    depth_list: [N, ht, wd] depths rendered from the mesh itself
+    (native.render_depth — the pyrender replacement).
+    """
+    fx, fy, cx, cy = [float(x) for x in intrinsics]
+    n_pts = len(points)
+    seen = np.zeros(n_pts, bool)
+    forecast = np.zeros(n_pts, bool)
+    r = float(forecast_radius)
+    pts_h = np.concatenate([points, np.ones((n_pts, 1), points.dtype)],
+                           axis=1)
+
+    for k in range(len(c2w_list)):
+        w2c = np.linalg.inv(np.asarray(c2w_list[k], np.float64))
+        pc = pts_h @ w2c[:3].T
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = fx * pc[:, 0] / z + cx
+            v = fy * pc[:, 1] / z + cy
+
+        in_frustum = (u >= 0) & (u <= wd - 1) & (v >= 0) & (v <= ht - 1) \
+            & (z > 0)
+        fore_frustum = (u >= -r) & (u <= wd - 1 + r) & (v >= -r) \
+            & (v <= ht - 1 + r) & (z > 0)
+
+        # bilinear depth sample, border padding, align_corners=True
+        # (grid_sample semantics, mesher.py:113-119)
+        uu = np.clip(u, 0.0, wd - 1.0)
+        vv = np.clip(v, 0.0, ht - 1.0)
+        u0 = np.floor(uu).astype(np.int64)
+        v0 = np.floor(vv).astype(np.int64)
+        u1 = np.minimum(u0 + 1, wd - 1)
+        v1 = np.minimum(v0 + 1, ht - 1)
+        au = uu - u0
+        av = vv - v0
+        D = np.asarray(depth_list[k])
+        ds = (D[v0, u0] * (1 - au) * (1 - av) + D[v0, u1] * au * (1 - av)
+              + D[v1, u0] * (1 - au) * av + D[v1, u1] * au * av)
+
+        is_front = np.where(ds > 0.0, z < ds + eps, True)
+        in_f = in_frustum & is_front
+        seen |= in_f
+        forecast |= in_f | (fore_frustum & is_front)
+    return seen, forecast
+
+
+def cull_mesh(verts, tris, c2w_list, intrinsics, ht: int, wd: int,
+              bound=None, obb=None, forecast_radius: float = 0.0,
+              get_largest_components: bool = False,
+              min_area_ratio: float = 0.2, far: float = 20.0,
+              depth_list=None):
+    """Full reference culling flow (mesher.py:157-240):
+      bound/OBB cull -> projection cull against the mesh's own rendered
+      depth -> connected components -> forecast mesh restricted to the
+      culled mesh's OBB -> components.
+
+    Returns ((cull_v, cull_t), (forecast_v, forecast_t)).
+    """
+    from ..native import render_depth
+    from ..utils.obb import OrientedBoundingBox
+
+    if bound is not None:
+        verts_k, tris_k = cull_by_bound(verts, tris, bound)
+    elif obb is not None:
+        ok = obb.contains(verts)
+        verts_k, tris_k = _compact(verts, tris[ok[tris].all(axis=1)])
+    else:
+        verts_k, tris_k = verts, tris
+    if len(tris_k) == 0:
+        empty = (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+        return empty, empty
+
+    # occlusion oracle: the extracted mesh's own depth at every camera
+    # (extract_depth_from_mesh, mesher.py:190-193)
+    if depth_list is None:
+        w2c = np.linalg.inv(np.asarray(c2w_list, np.float64)).astype(
+            np.float32)
+        depth_list = render_depth(verts_k, tris_k, w2c, intrinsics,
+                                  ht, wd, zfar=far)
+
+    seen, forecast = point_masks(verts_k, depth_list, c2w_list, intrinsics,
+                                 ht, wd, forecast_radius=forecast_radius)
+
+    cull_v, cull_t = _compact(verts_k, tris_k[seen[tris_k].all(axis=1)])
+    cull_v, cull_t = cull_small_components(cull_v, cull_t, min_area_ratio,
+                                           get_largest_components)
+
+    if abs(forecast_radius) > 0 and len(cull_v):
+        fore_v, fore_t = _compact(verts_k,
+                                  tris_k[forecast[tris_k].all(axis=1)])
+        if len(fore_v):
+            # restrict the forecast mesh to the culled mesh's OBB
+            # (mesher.py:218-231)
+            box = OrientedBoundingBox.from_points(cull_v)
+            inb = box.contains(fore_v)
+            fore_v, fore_t = _compact(fore_v,
+                                      fore_t[inb[fore_t].all(axis=1)])
+            fore_v, fore_t = cull_small_components(
+                fore_v, fore_t, min_area_ratio, get_largest_components)
+    else:
+        fore_v, fore_t = cull_v.copy(), cull_t.copy()
+    return (cull_v, cull_t), (fore_v, fore_t)
 
 
 def _compact(verts, tris):

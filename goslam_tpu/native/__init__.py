@@ -1,8 +1,13 @@
 """Native (C++) runtime components, bound via ctypes.
 
-Currently: isosurface extraction (marching tetrahedra) — the replacement
-for the reference's external `mcubes` CUDA/C++ dependency.  The shared
-library is built on demand with g++ and cached next to the source.
+  * isosurface extraction (marching tetrahedra) — replaces the reference's
+    external `mcubes` CUDA/C++ dependency.
+  * depth rasterizer (z-buffer) — replaces the reference's pyrender
+    offscreen depth pass used as the mesh-culling occlusion oracle
+    (mesher.py:444-480).
+
+Shared libraries are built on demand with g++ and cached next to the
+source.
 """
 from __future__ import annotations
 
@@ -78,3 +83,71 @@ def marching_cubes(grid: np.ndarray, iso: float = 0.0):
     finally:
         lib.mc_free(m)
     return verts, tris
+
+
+# ---------------------------------------------------------------------------
+# depth rasterizer
+# ---------------------------------------------------------------------------
+
+_RASTER_SRC = os.path.join(_DIR, "raster.cpp")
+_RASTER_LIB = os.path.join(_DIR, "libraster.so")
+_raster_lib = None
+
+
+def _load_raster():
+    global _raster_lib
+    if _raster_lib is not None:
+        return _raster_lib
+    if (not os.path.exists(_RASTER_LIB)
+            or os.path.getmtime(_RASTER_LIB)
+            < os.path.getmtime(_RASTER_SRC)):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _RASTER_SRC,
+             "-o", _RASTER_LIB], check=True)
+    lib = ctypes.CDLL(_RASTER_LIB)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.render_depth.restype = None
+    lib.render_depth.argtypes = [
+        f32p, ctypes.c_int64,                      # verts
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,  # tris
+        f32p, ctypes.c_int64,                      # w2c, n_cams
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int,                # H, W
+        ctypes.c_float, ctypes.c_float,            # znear, zfar
+        f32p,                                      # out
+    ]
+    _raster_lib = lib
+    return lib
+
+
+def render_depth(verts: np.ndarray, tris: np.ndarray, w2c: np.ndarray,
+                 intrinsics, H: int, W: int, znear: float = 0.001,
+                 zfar: float = 20.0) -> np.ndarray:
+    """Z-buffer depth render of (verts, tris) at each w2c camera.
+
+    Args:
+      verts: [V, 3] float32 world coords.
+      tris: [T, 3] int32.
+      w2c: [N, 4, 4] world->camera (OpenCV, +z forward).
+      intrinsics: (fx, fy, cx, cy).
+    Returns:
+      [N, H, W] float32 depths, 0 where nothing was hit (the convention
+      the reference's culling tests rely on, mesher.py:120).
+    """
+    verts = np.ascontiguousarray(verts, np.float32)
+    tris = np.ascontiguousarray(tris, np.int32)
+    w2c = np.ascontiguousarray(w2c, np.float32).reshape(-1, 16)
+    n_cams = len(w2c)
+    fx, fy, cx, cy = [float(x) for x in intrinsics]
+    out = np.zeros((n_cams, H, W), np.float32)
+    if len(tris) == 0 or n_cams == 0:
+        return out
+    lib = _load_raster()
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.render_depth(
+        verts.ctypes.data_as(f32p), len(verts),
+        tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(tris),
+        w2c.ctypes.data_as(f32p), n_cams,
+        fx, fy, cx, cy, H, W, znear, zfar,
+        out.ctypes.data_as(f32p))
+    return out

@@ -106,6 +106,10 @@ class SLAMSystem:
         self._kf_since_ba = 0
         self._kf_since_map = 0
         self.frame_count = 0
+        # --make_video: save an intermediate mesh after every mapping round
+        # (the reference's mesher process re-meshes on each reload_map,
+        # generate_video_on_scannet.sh:16-26 + tools/meshvideo.py)
+        self.make_video = bool(self.cfg.get("make_video", False))
 
     # ------------------------------------------------------------------
     def track(self, timestamp, image, depth=None, intrinsics=None,
@@ -130,10 +134,34 @@ class SLAMSystem:
             if (self.mapper is not None
                     and self._kf_since_map >= self.mapping_every):
                 self._kf_since_map = 0
-                self._safe("mapping",
-                           lambda: self.mapper()
-                           if self.multiview_filter() else None)
+                did_map = self._safe(
+                    "mapping",
+                    lambda: (self.mapper(), True)[1]
+                    if self.multiview_filter() else None)
+                if did_map and self.make_video:
+                    self._safe("video_mesh", self._save_intermediate_mesh)
         return is_kf
+
+    def _save_intermediate_mesh(self):
+        """Low-res mesh snapshot for the mesh video (the reference's
+        per-reload `{timestamp:05d}_mesh.ply`, mesher.py:293-307)."""
+        from .mapping import mesher as M
+
+        cfg_m = self.cfg["meshing"]
+        bound = jnp.asarray(self.video.bound, jnp.float32)
+        if float(jnp.abs(bound).sum()) < 1e-6:
+            return
+        v, t = M.extract_mesh(
+            self.mapper.model, self.mapper.params, bound, bound,
+            resolution=min(int(cfg_m["resolution"]), 192),
+            level_set=cfg_m["level_set"])
+        if len(t) == 0:
+            return
+        v, t = M.cull_by_bound(v, t, np.asarray(bound))
+        ts = int(float(self.video.timestamp[self.video.counter - 1]))
+        mesh_dir = os.path.join(self.output, "mesh")
+        os.makedirs(mesh_dir, exist_ok=True)
+        M.save_ply(os.path.join(mesh_dir, f"{ts:05d}_mesh.ply"), v, t)
 
     def _safe(self, name, fn):
         """Run a periodic subsystem; a failure (e.g. a transient compile
@@ -172,10 +200,11 @@ class SLAMSystem:
         n = self.video.counter
         self.save_checkpoint(os.path.join(self.output, "go.ckpt"))
 
-        gt_record = []
+        gt_record, ts_record = [], []
         if stream is not None:
             def recording(s):
                 for item in s:
+                    ts_record.append(item[0])
                     gt_record.append(item[4])
                     yield item
 
@@ -186,41 +215,76 @@ class SLAMSystem:
                 lie.matrix(lie.inv(self.video.poses[:n])))
         np.save(os.path.join(self.output, "est_poses.npy"), c2w)
 
+        trans_init = None
         gt_list = self._gt_poses(gt_record if stream is not None else None)
         if gt_list is not None:
             res = evaluate.ate_rmse(c2w, gt_list, correct_scale=True)
+            trans_init = res["alignment"]
             metrics["ate"] = {k: v for k, v in res.items()
                               if k != "alignment"}
             with open(os.path.join(self.output, "metrics_traj.txt"),
                       "w") as f:
                 json.dump(metrics["ate"], f, indent=2)
         else:
-            ts = np.arange(len(c2w), dtype=np.float64)
+            # real image timestamps, as the reference writes for the ETH3D
+            # benchmark server (slam.py:326-339; fake indices would make
+            # the submission invalid)
+            ts = np.asarray(ts_record, np.float64) if ts_record \
+                else np.asarray(self.video.timestamp[:n], np.float64)
             evaluate.write_tum_trajectory(
-                os.path.join(self.output, "submission.txt"), ts, c2w)
+                os.path.join(self.output, "submission.txt"),
+                ts[:len(c2w)], c2w)
 
         if self.mapper is not None and not self.only_tracking:
             if self.multiview_filter is not None:
                 self.multiview_filter()
-            self.mapper(the_end=True)
-            mesh_metrics = self.extract_final_mesh(eval_mesh_path)
+            # post-processing: post_processing_iters full mapping rounds,
+            # each at 10x joint iters (slam.py:262-264 + mapping.py:157-158)
+            for _ in range(int(self.cfg["mapping"].get(
+                    "post_processing_iters", 10))):
+                self.mapper(the_end=True)
+            mesh_metrics = self.extract_final_mesh(
+                eval_mesh_path, est_c2w_list=c2w, trans_init=trans_init)
             if mesh_metrics:
                 metrics["mesh"] = mesh_metrics
         return metrics
 
     def _gt_poses(self, gt_record):
         if gt_record is None:
-            gt = np.asarray(self.video.poses_gt[:self.video.counter])
-            if np.allclose(gt, np.eye(4)):
+            if not self.video.has_gt:
                 return None
-            return gt
+            return np.asarray(self.video.poses_gt[:self.video.counter])
         if any(p is None for p in gt_record) or not gt_record:
             return None
         return np.stack(gt_record)
 
-    def extract_final_mesh(self, gt_mesh_path: str = ""):
-        """Final mesh: extract -> cull -> save -> (optionally) evaluate
-        (mesher.py:284-336)."""
+    def _filtered_obb(self):
+        """OBB of the multiview-filtered point cloud (+0.1 m margin) — the
+        culling bound the reference computes at the end
+        (mesher.py:254-280, update_param_from_mapping)."""
+        from .ops import projective
+        from .utils.obb import OrientedBoundingBox
+
+        n = self.video.counter
+        disps = np.asarray(self.video.disps_filtered[:n])
+        masks = np.asarray(self.video.mask_filtered[:n]) > 0
+        # reference extra filter: drop far points (mesher.py:271)
+        mean_d = disps.reshape(n, -1).mean(axis=1)[:, None, None]
+        masks &= disps > 0.01 * mean_d
+        if not masks.any():
+            return None
+        intr = jnp.asarray(self.video.intrinsics) * self.video.device_scale
+        pts = np.asarray(projective.iproj_world(
+            jnp.asarray(self.video.poses_filtered[:n]),
+            jnp.asarray(np.maximum(disps, 1e-6)), intr))
+        sel = pts.reshape(-1, 3)[masks.reshape(-1)]
+        return OrientedBoundingBox.from_points(sel, extend=0.1)
+
+    def extract_final_mesh(self, gt_mesh_path: str = "",
+                           est_c2w_list=None, trans_init=None):
+        """Final mesh: extract -> OBB + projection + component + forecast
+        cull -> ICP-align (seeded with the ATE Sim3) -> save -> evaluate
+        the aligned forecast mesh (mesher.py:157-335, slam.py:352-365)."""
         from .mapping import mesher as M
 
         cfg_m = self.cfg["meshing"]
@@ -232,29 +296,45 @@ class SLAMSystem:
                               level_set=cfg_m["level_set"])
         if len(t) == 0:
             return None
-        v, t = M.cull_by_bound(v, t, np.asarray(bound))
-        n = self.video.counter
-        v, t = M.cull_by_visibility(
-            v, t, np.asarray(self.video.poses_filtered[:n]),
-            np.asarray(self.video.disps_filtered[:n]) ** -1,
-            np.asarray(self.video.mask_filtered[:n]),
-            np.asarray(self.video.intrinsics) * self.video.device_scale,
-            self.video.ht, self.video.wd,
-            forecast_radius=cfg_m["forecast_radius"])
-        if cfg_m.get("get_largest_components"):
-            v, t = M.cull_small_components(
-                v, t, cfg_m["remove_small_geometry_threshold"])
+
+        mesh_dir = os.path.join(self.output, "mesh")
+        os.makedirs(mesh_dir, exist_ok=True)
         colors = M.extract_vertex_colors(self.mapper.model,
-                                         self.mapper.params, bound, v) \
-            if len(v) else None
-        os.makedirs(os.path.join(self.output, "mesh"), exist_ok=True)
-        M.save_ply(os.path.join(self.output, "mesh", "final_raw.ply"), v, t,
-                   colors)
+                                         self.mapper.params, bound, v)
+        M.save_ply(os.path.join(mesh_dir, "final_raw.ply"), v, t, colors)
+
+        n = self.video.counter
+        if est_c2w_list is None:
+            est_c2w_list = self.keyframe_c2w()
+        intr = np.asarray(self.video.intrinsics) * self.video.device_scale
+        obb = self._filtered_obb()
+
+        (cv_, ct_), (fv, ft) = M.cull_mesh(
+            v, t, est_c2w_list, intr, self.video.ht, self.video.wd,
+            obb=obb, forecast_radius=cfg_m["forecast_radius"],
+            get_largest_components=cfg_m.get("get_largest_components",
+                                             False),
+            min_area_ratio=cfg_m["remove_small_geometry_threshold"])
+        if len(ct_) == 0:
+            return None
+        M.save_ply(os.path.join(mesh_dir, "cull_mesh.ply"), cv_, ct_)
+        M.save_ply(os.path.join(mesh_dir, "forecast_mesh.ply"), fv, ft)
 
         if cfg_m.get("eval_rec") and gt_mesh_path and os.path.exists(
                 gt_mesh_path):
             gv, gt_tris = M.load_ply(gt_mesh_path)
-            res = M.eval_mesh(v, t, gv, gt_tris,
+            # ICP alignment of the culled mesh to GT, seeded with the ATE
+            # Sim3 (align_mesh, mesher.py:339-357; slam.py keeps trans_init)
+            T = M.align_mesh_icp(cv_, gv, init=trans_init)
+            cva = cv_ @ T[:3, :3].T + T[:3, 3]
+            M.save_ply(os.path.join(mesh_dir, "aligned_mesh.ply"),
+                       cva.astype(np.float32), ct_)
+            fva = fv @ T[:3, :3].T + T[:3, 3]
+            M.save_ply(os.path.join(mesh_dir, "forecast_aligned_mesh.ply"),
+                       fva.astype(np.float32), ft)
+            # the reference evaluates the aligned *forecast* mesh
+            # (mesher.py:319-327)
+            res = M.eval_mesh(fva.astype(np.float32), ft, gv, gt_tris,
                               n_points=cfg_m["n_points_to_eval"],
                               threshold=cfg_m["mesh_threshold_to_eval"])
             with open(os.path.join(self.output, "metrics_mesh.txt"),

@@ -40,19 +40,17 @@ def render_frame(verts, tris, traj, out_path, elev=-60, azim=-90):
     plt.close(fig)
 
 
-def main():
+def make_video(run_dir: str, fps: int = 10) -> str | None:
+    """Render every mesh/*.ply with the growing trajectory into an mp4
+    (reference tools/meshvideo.py:242-266 behavior, GL-free).  Returns the
+    video path, or None when no meshes exist."""
     from ..mapping.mesher import load_ply
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("run_dir")
-    ap.add_argument("--fps", type=int, default=10)
-    args = ap.parse_args()
-
-    meshes = sorted(glob.glob(os.path.join(args.run_dir, "mesh", "*.ply")))
-    traj_file = os.path.join(args.run_dir, "est_poses.npy")
+    meshes = sorted(glob.glob(os.path.join(run_dir, "mesh", "*.ply")))
+    traj_file = os.path.join(run_dir, "est_poses.npy")
     traj = np.load(traj_file)[:, :3, 3] if os.path.exists(traj_file) else None
 
-    frame_dir = os.path.join(args.run_dir, "video_frames")
+    frame_dir = os.path.join(run_dir, "video_frames")
     os.makedirs(frame_dir, exist_ok=True)
     paths = []
     for k, mp in enumerate(meshes):
@@ -63,17 +61,26 @@ def main():
         render_frame(v, t, sub, fp)
         paths.append(fp)
 
-    if paths:
-        import cv2
-        img0 = cv2.imread(paths[0])
-        h, w = img0.shape[:2]
-        vw = cv2.VideoWriter(
-            os.path.join(args.run_dir, "mesh_video.mp4"),
-            cv2.VideoWriter_fourcc(*"mp4v"), args.fps, (w, h))
-        for p in paths:
-            vw.write(cv2.imread(p))
-        vw.release()
-        print(f"wrote {len(paths)} frames -> mesh_video.mp4")
+    if not paths:
+        return None
+    import cv2
+    img0 = cv2.imread(paths[0])
+    h, w = img0.shape[:2]
+    out = os.path.join(run_dir, "mesh_video.mp4")
+    vw = cv2.VideoWriter(out, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for p in paths:
+        vw.write(cv2.imread(p))
+    vw.release()
+    print(f"wrote {len(paths)} frames -> mesh_video.mp4")
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir")
+    ap.add_argument("--fps", type=int, default=10)
+    args = ap.parse_args()
+    make_video(args.run_dir, args.fps)
 
 
 if __name__ == "__main__":

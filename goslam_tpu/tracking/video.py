@@ -115,6 +115,7 @@ class VideoBuffer:
 
         self.counter = 0
         self.ready = False
+        self.has_gt = False     # set on first appended gt pose
 
         f32 = jnp.float32
         self.timestamp = jnp.zeros((B,), f32)
@@ -157,6 +158,8 @@ class VideoBuffer:
         pose/disp may be None to keep defaults; disp may be a scalar.
         """
         ix = self.counter
+        if gt_pose is not None:
+            self.has_gt = True
         if intrinsics is not None:
             self.intrinsics = jnp.asarray(intrinsics, jnp.float32)
 

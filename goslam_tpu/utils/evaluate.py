@@ -68,13 +68,15 @@ def ate_rmse(est_c2w: np.ndarray, gt_c2w: np.ndarray,
 
 def write_tum_trajectory(path: str, timestamps: np.ndarray,
                          c2w: np.ndarray):
-    """TUM/ETH3D submission format: `t tx ty tz qx qy qz qw` per line
-    (slam.py:326-339)."""
+    """TUM/ETH3D submission format: `t tx ty tz qx qy qz qw` per line,
+    timestamps at 9 decimals and pose entries at 14, exactly as the
+    reference writes its benchmark submission (slam.py:326-339)."""
     from scipy.spatial.transform import Rotation
 
     with open(path, "w") as f:
         for t, m in zip(timestamps, c2w):
             q = Rotation.from_matrix(m[:3, :3]).as_quat()  # x y z w
             p = m[:3, 3]
-            f.write(f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
-                    f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n")
+            vals = " ".join(f"{x:.14f}" for x in
+                            (p[0], p[1], p[2], q[0], q[1], q[2], q[3]))
+            f.write(f"{t:.9f} {vals}\n")

@@ -16,9 +16,12 @@ class OrientedBoundingBox:
         self.extent = np.asarray(extent, np.float32)
 
     @classmethod
-    def from_points(cls, pts: np.ndarray, enlarge: float = 1.0):
+    def from_points(cls, pts: np.ndarray, enlarge: float = 1.0,
+                    extend: float = 0.0):
         """PCA box around the points (o3d uses the covariance eigenbasis
-        too)."""
+        too).  `extend` adds an absolute margin to every extent, matching
+        the reference's compute_from_pointcloud(extend=...)
+        (oriented_bounding_box.py:28-41)."""
         mu = pts.mean(0)
         x = pts - mu
         cov = x.T @ x / len(pts)
@@ -29,7 +32,7 @@ class OrientedBoundingBox:
         local = x @ R
         lo, hi = local.min(0), local.max(0)
         center = mu + R @ ((lo + hi) / 2)
-        extent = (hi - lo) * enlarge
+        extent = (hi - lo) * enlarge + extend
         return cls(center, R, extent)
 
     def contains(self, pts: np.ndarray) -> np.ndarray:

@@ -83,6 +83,8 @@ def main():
     if args.calibration_txt:
         fx, fy, cx, cy = np.loadtxt(args.calibration_txt).tolist()
         cfg["cam"].update({"fx": fx, "fy": fy, "cx": cx, "cy": cy})
+    if args.make_video:
+        cfg["make_video"] = True
 
     output = cfg["data"]["output"] or "output/run"
     os.makedirs(output, exist_ok=True)
@@ -127,6 +129,10 @@ def main():
         stream=stream(),
         eval_mesh_path=cfg["meshing"].get("gt_mesh_path", ""))
     print(json.dumps(metrics, indent=2, default=str))
+
+    if args.make_video:
+        from goslam_tpu.tools.meshvideo import make_video
+        make_video(output)
 
 
 if __name__ == "__main__":

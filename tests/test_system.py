@@ -30,7 +30,7 @@ def demo_cfg(**over):
             "global_ba_every": 0,
         },
         "mapping": {"mapping_every": 4, "pixels": 512,
-                    "mapping_window_size": 6},
+                    "mapping_window_size": 6, "post_processing_iters": 1},
         "rendering": {"N_samples": 8, "N_surface": 16},
         "meshing": {"resolution": 64},
     })
