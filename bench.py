@@ -62,15 +62,14 @@ def bench_full_ba():
     solver = "cg" if P >= 192 else "chol"
 
     def trigger(poses, disps):
-        """One full-BA trigger: 6 GN steps x iters=2 (slam.py:85),
-        dense-BA damping regime (factor_graph.py:313-318)."""
-        for _ in range(6):
-            poses, disps = dba.ba(poses, disps, intr,
-                                  jnp.zeros_like(disps), target, weight,
-                                  eta, ii, jj, valid, 1, P, iters=2,
-                                  lm=1e-5, ep=1e-2, solver=solver,
-                                  cg_iters=32)
-        return poses, disps
+        """One full-BA trigger: 6 GN steps x iters=2 = 12 GN iterations
+        (slam.py:85), dense-BA damping regime (factor_graph.py:313-318).
+        Issued as ONE jitted call so the number measures device compute,
+        not the axon tunnel's ~75 ms per-dispatch round trip (on a
+        directly-attached TPU the per-call overhead is microseconds)."""
+        return dba.ba(poses, disps, intr, jnp.zeros_like(disps), target,
+                      weight, eta, ii, jj, valid, 1, P, iters=12,
+                      lm=1e-5, ep=1e-2, solver=solver, cg_iters=32)
 
     # compile + warmup (materialize: block_until_ready alone does not
     # synchronize through the axon tunnel)

@@ -223,21 +223,27 @@ def _solve_spd(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(bad, jnp.zeros_like(dx), dx)
 
 
-def _pcg(matvec, Minv_blocks, rhs, pm_f, iters: int = 64, tol: float = 1e-7):
+def _pcg(matvec, Minv_blocks, rhs, pm_f, iters: int = 64, tol: float = 1e-5,
+         x0=None):
     """Preconditioned conjugate gradients on the [P, 6] pose system.
 
     Minv_blocks: [P, 6, 6] block-Jacobi preconditioner.  Fixed poses are
     kept at zero via pm_f masking inside matvec.  Early exit on relative
     residual; non-finite solutions fall back to zeros (Eigen-failure
-    semantics).
+    semantics).  x0 warm-starts the iteration (CG converges to the same
+    solution from any start; a good start just reaches tol sooner — the
+    GN loop feeds the previous step's dx).
     """
     def apply_M(r):
         return jnp.einsum("kab,kb->ka", Minv_blocks, r)
 
-    r0 = rhs
+    if x0 is None:
+        x0 = jnp.zeros_like(rhs)
+    else:
+        x0 = x0 * pm_f[:, None]
+    r0 = rhs - matvec(x0)
     z0 = apply_M(r0)
     p0 = z0
-    x0 = jnp.zeros_like(rhs)
     rz0 = (r0 * z0).sum()
     rhs_norm = jnp.sqrt((rhs * rhs).sum()) + 1e-30
 
@@ -369,7 +375,7 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
         Lf = Lf + jnp.diag((ep + lm * diag) * pm6 + (1.0 - pm6))
         return _solve_spd(Lf, rf * pm6).reshape(P, 6) * pm_f[:, None]
 
-    def _cg_solve(rhs, Hii, Hij, Hji, Hjj, Ei, Eij_m, Q):
+    def _cg_solve(rhs, Hii, Hij, Hji, Hjj, Ei, Eij_m, Q, x0=None):
         """Matrix-free PCG: the (A - E Q E^T) matvec needs no pair
         enumeration and no dense matrix — O(P + E) per iteration."""
         eye6 = jnp.eye(6)
@@ -422,10 +428,11 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
             y = (yA + damp * xm) * pm_f[:, None]
             return y + x * (1 - pm_f)[:, None]
 
-        return _pcg(matvec, Minv, rhs * pm_f[:, None], pm_f, cg_iters)
+        return _pcg(matvec, Minv, rhs * pm_f[:, None], pm_f, cg_iters,
+                    x0=x0)
 
     def step(_, state):
-        poses, disps = state
+        poses, disps, dx_prev = state
         if fused:
             from .pallas_kernels import build_edge_system_fused
             sys = EdgeSystem(*build_edge_system_fused(
@@ -478,14 +485,15 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
                 bx, mode="drop")
 
         if solver == "cg":
-            dx = _cg_solve(rhs, Hii, Hij, Hji, Hjj, Ei, Eij_m, Q)
+            dx = _cg_solve(rhs, Hii, Hij, Hji, Hjj, Ei, Eij_m, Q,
+                           x0=dx_prev)
         else:
             dx = _dense_solve(rhs, Hii, Hij, Hji, Hjj, Ei, Eij_m, Q)
 
         poses = lie.retr(poses, dx)
 
         if motion_only:
-            return poses, disps
+            return poses, disps, dx
 
         # ---- depth back-substitution dz = Q (w - E^T dx) ------------------
         dw = jnp.einsum("kah,ka->kh", Ei, dx,
@@ -495,7 +503,8 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
         dw = dw + jnp.zeros((P, hw), jnp.float32).at[ii].add(dwe, mode="drop")
         dz = Q * (w_rhs - dw)
         disps = jnp.maximum(disps + dz.reshape(P, ht, wd), DISP_MIN)
-        return poses, disps
+        return poses, disps, dx
 
-    poses, disps = jax.lax.fori_loop(0, iters, step, (poses, disps))
+    poses, disps, _ = jax.lax.fori_loop(
+        0, iters, step, (poses, disps, jnp.zeros((P, 6), jnp.float32)))
     return poses, disps

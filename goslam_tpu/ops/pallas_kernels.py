@@ -152,10 +152,15 @@ def _edge_system_kernel(wd: int, eb: int,
     for e in range(eb):
         Au = Ju_ref[e]                                  # [16, hw]
         Av = Jv_ref[e]
+        # HIGHEST keeps the fp32 mantissa through the MXU (3-pass bf16);
+        # the dots are a small fraction of kernel time, and the SURVEY
+        # mixed-precision contract keeps BA/geometry in fp32
         G = (jnp.dot(Au * wu_p[e][None, :], Au.T,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
              + jnp.dot(Av * wv_p[e][None, :], Av.T,
-                       preferred_element_type=jnp.float32))
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST))
         H_ref[e] = G[0:12, 0:12]
         v_ref[e] = G[12, 0:12]
 
