@@ -58,8 +58,12 @@ def bench_full_ba():
     eta = jnp.full((P, ht, wd), 1e-4, jnp.float32)
     valid = jnp.ones((E,), bool)
 
-    # mirror the runtime's solver selection (factor_graph._lowmem_step)
+    # mirror the runtime's solver + degree-bucket selection
+    # (factor_graph._lowmem_step)
+    from goslam_tpu.utils.shapes import bucket
     solver = "cg" if P >= 192 else "chol"
+    deg = int(np.bincount(np.asarray(ii), minlength=1).max())
+    max_deg = bucket(deg, (4, 8, 12, 16, 24, 32, 48, 64, 96, 128))
 
     def trigger(poses, disps):
         """One full-BA trigger: 6 GN steps x iters=2 = 12 GN iterations
@@ -69,7 +73,8 @@ def bench_full_ba():
         directly-attached TPU the per-call overhead is microseconds)."""
         return dba.ba(poses, disps, intr, jnp.zeros_like(disps), target,
                       weight, eta, ii, jj, valid, 1, P, iters=12,
-                      lm=1e-5, ep=1e-2, solver=solver, cg_iters=32)
+                      lm=1e-5, ep=1e-2, solver=solver, cg_iters=32,
+                      max_deg=max_deg)
 
     # compile + warmup (materialize: block_until_ready alone does not
     # synchronize through the axon tunnel)

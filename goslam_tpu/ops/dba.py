@@ -310,6 +310,19 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
         # the XLA expression
         fused = jax.default_backend() == "tpu"
 
+    # Pallas Schur matvec (CG path): sort edges by source frame once so
+    # each frame-block's Eij rows form one contiguous DMA slab; the
+    # permutation only reorders internal sums (same results).
+    plan = None
+    if (fused and solver == "cg" and not motion_only and P % 8 == 0
+            and ((E + 7) // 8) * 8 >= 8 * max_deg + 8):
+        from .pallas_kernels import schur_matvec_plan
+        order, cstart, onehot, jj_pad = schur_matvec_plan(
+            ii, jj, valid, P, max_deg, fb=8)
+        ii, jj, valid = ii[order], jj[order], valid[order]
+        target, weight = target[order], weight[order]
+        plan = (cstart, onehot, jj_pad)
+
     P6 = P * 6
     frames = jnp.arange(P)
     pose_mask = (frames >= t0) & (frames < t1)                    # [P]
@@ -402,6 +415,10 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
         Mb = Mb * pm_f[:, None, None] + eye6 * (1 - pm_f)[:, None, None]
         Minv = _inv6(Mb)
 
+        if plan is not None and not motion_only:
+            from .pallas_kernels import schur_pack
+            Ei_k, Eij_k, Q_k = schur_pack(Ei, Eij_m, Q)   # once per GN step
+
         def matvec(x):
             xm = x * pm_f[:, None]
             yA = jnp.zeros((P, 6), jnp.float32)
@@ -414,16 +431,24 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
                 + jnp.einsum("eab,eb->ea", Hjj, xm[jj], precision=HI),
                 mode="drop")
             if not motion_only:
-                hw_ = Q.shape[-1]
-                u = jnp.einsum("kah,ka->kh", Ei, xm, precision=HI)
-                u = u + jnp.zeros((P, hw_), jnp.float32).at[ii].add(
-                    jnp.einsum("eah,ea->eh", Eij_m, xm[jj], precision=HI),
-                    mode="drop")
-                u = Q * u
-                yS = jnp.einsum("kah,kh->ka", Ei, u, precision=HI)
-                yS = yS + jnp.zeros((P, 6), jnp.float32).at[jj].add(
-                    jnp.einsum("eah,eh->ea", Eij_m, u[ii], precision=HI),
-                    mode="drop")
+                if plan is not None:
+                    from .pallas_kernels import schur_matvec
+                    cstart, onehot, jj_pad = plan
+                    yS = schur_matvec(xm, Ei_k, Eij_k, Q_k, xm[jj],
+                                      cstart, onehot, jj_pad, fb=8)
+                else:
+                    hw_ = Q.shape[-1]
+                    u = jnp.einsum("kah,ka->kh", Ei, xm, precision=HI)
+                    u = u + jnp.zeros((P, hw_), jnp.float32).at[ii].add(
+                        jnp.einsum("eah,ea->eh", Eij_m, xm[jj],
+                                   precision=HI),
+                        mode="drop")
+                    u = Q * u
+                    yS = jnp.einsum("kah,kh->ka", Ei, u, precision=HI)
+                    yS = yS + jnp.zeros((P, 6), jnp.float32).at[jj].add(
+                        jnp.einsum("eah,eh->ea", Eij_m, u[ii],
+                                   precision=HI),
+                        mode="drop")
                 yA = yA - yS
             y = (yA + damp * xm) * pm_f[:, None]
             return y + x * (1 - pm_f)[:, None]

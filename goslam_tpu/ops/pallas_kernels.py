@@ -257,3 +257,161 @@ def build_edge_system_fused(poses, disps, intrinsics, target, weight,
         Eii, Eij = Eii[:E], Eij[:E]
         Cii, bz = Cii[:E], bz[:E]
     return H, v, Eii, Eij, Cii, bz
+
+
+# ---------------------------------------------------------------------------
+# fused Schur matvec for the PCG solver
+# ---------------------------------------------------------------------------
+#
+# y_S = Ei u + scatter_jj(Eij u[ii]),  u = Q (Ei^T x + sum_e Eij^T x[jj])
+#
+# The XLA expression streams Eij [E, 6, hw] twice per CG iteration plus
+# scatter/gather of [*, hw] rows (~2.5 ms at backend scale). This kernel
+# reads Eij exactly ONCE per matvec: edges are sorted by source frame, so
+# each frame-block's rows are one contiguous DMA slab; u is accumulated,
+# Q-scaled, and consumed entirely in VMEM; per-edge jj-contributions come
+# back as a tiny [*, 6] array that XLA scatter-adds. One-hot MXU dots do
+# the edge->frame reduction and frame->edge broadcast.
+
+
+def _schur_matvec_kernel(fb: int, cap: int,
+                         cstart_ref, x_ref, ei_ref, q_ref, oh_ref,
+                         xj_ref, eij_hbm,
+                         yf_ref, oc_ref,
+                         slab, sem0):
+    b = pl.program_id(0)
+    start = pl.multiple_of(cstart_ref[b], 8)
+
+    dma0 = pltpu.make_async_copy(
+        eij_hbm.at[pl.ds(start, cap)], slab, sem0)
+    dma0.start()
+
+    x_blk = x_ref[pl.ds(b * fb, fb), :]                  # [FB, 6]
+    ei = ei_ref[:]                                       # [FB, 6, hw]
+    # u_mine = Ei^T x (per owned frame)
+    u = jnp.sum(ei * x_blk[:, :, None], axis=1)          # [FB, hw]
+    xj = xj_ref[pl.ds(start, cap), :]                    # [CAP, 8]
+
+    dma0.wait()
+    G = slab[:]                                          # [CAP, 8, hw]
+
+    # per-edge contribution Eij^T x[jj] (pad rows 6,7 are zero)
+    contrib = jnp.sum(G * xj[:, :, None], axis=1)        # [CAP, hw]
+    oh = oh_ref[0]                                       # [CAP, FB]
+    # edge -> frame reduction (invalid slab rows have all-zero one-hot)
+    u = u + jnp.dot(oh.T, contrib,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    u = q_ref[:] * u                                     # [FB, hw]
+
+    # frame part: y_f = Ei u
+    yf_ref[:] = jnp.sum(ei * u[:, None, :], axis=-1)     # [FB, 6]
+
+    # edge part: oc = Eij u[ii]  (broadcast u back to edge rows)
+    ug = jnp.dot(oh, u, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)    # [CAP, hw]
+    oc_ref[0] = jnp.sum(G * ug[:, None, :], axis=-1)     # [CAP, 8]
+
+
+def schur_pack(Ei, Eij_sorted, Q):
+    """Pack the matvec operands to DMA-tileable shapes, once per GN step:
+    Eij [E, 6, hw] -> [E8, 8, hwp] (fp32 sublane/lane tiles), Ei/Q padded
+    to hwp lanes. All pad entries are zero so they contribute nothing."""
+    E, _, hw = Eij_sorted.shape
+    E8 = ((E + 7) // 8) * 8
+    hwp = ((hw + 127) // 128) * 128
+    Eij_p = jnp.pad(Eij_sorted, ((0, E8 - E), (0, 2), (0, hwp - hw)))
+    Ei_p = jnp.pad(Ei, ((0, 0), (0, 0), (0, hwp - hw)))
+    Q_p = jnp.pad(Q, ((0, 0), (0, hwp - hw)))
+    return Ei_p, Eij_p, Q_p
+
+
+def schur_matvec(x, Ei, Eij_packed, Q, xj, cstart, onehot, jj_pad,
+                 fb: int = 8, interpret: bool = False):
+    """One Schur-complement matvec y = (E Q E^T) x.
+
+    Preconditions (prepared once per dba.ba call by `schur_matvec_plan`,
+    once per GN step by `schur_pack`, which also lane-pads Ei/Q): edges
+    sorted by ii; Eij_packed [E8, 8, hwp]; cstart [nb] 8-aligned slab
+    starts (start+cap <= E8); onehot [nb, cap, fb] maps slab rows to
+    owned frames (zero rows mask foreign/invalid/pad edges); xj [E, 6]
+    = x[jj] per matvec (tiny).
+    """
+    P, _, hw = Ei.shape
+    E8 = Eij_packed.shape[0]
+    nb, cap, fb_ = onehot.shape
+    assert fb_ == fb and nb * fb == P and cap <= E8
+
+    xj8 = jnp.pad(xj, ((0, E8 - xj.shape[0]), (0, 2)))
+
+    yf, oc = pl.pallas_call(
+        functools.partial(_schur_matvec_kernel, fb, cap),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # cstart [nb]
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # x [P, 6]
+            pl.BlockSpec((fb, 6, hw), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),           # Ei
+            pl.BlockSpec((fb, hw), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),           # Q
+            pl.BlockSpec((1, cap, fb), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),           # onehot
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # xj [E8, 8]
+            pl.BlockSpec(memory_space=pltpu.ANY),            # Eij (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((fb, 6), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cap, 8), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, 6), jnp.float32),
+            jax.ShapeDtypeStruct((nb, cap, 8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cap, 8, Eij_packed.shape[-1]), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(cstart, x, Ei, Q, onehot, xj8, Eij_packed)
+
+    # scatter the per-edge contributions to their jj frames (tiny)
+    y = yf + jnp.zeros((P, 6), jnp.float32).at[jj_pad.reshape(-1)].add(
+        oc[..., :6].reshape(-1, 6), mode="drop")
+    return y
+
+
+def schur_matvec_plan(ii, jj, valid, P: int, max_deg: int, fb: int = 8):
+    """Static per-call plan for schur_matvec: sort edges by source frame,
+    8-aligned block-clamped slab starts, one-hot row->frame map, per-row
+    jj.
+
+    Returns (order, cstart, onehot, jj_pad). `order` must also be applied
+    to the edge data (target/weight/Eij) by the caller. A frame with more
+    than max_deg valid edges overflows its block's slab and the tail is
+    dropped from the matvec — same capacity semantics as dba._source_table
+    (callers bucket max_deg from the true degree).
+    """
+    E = ii.shape[0]
+    E8 = ((E + 7) // 8) * 8
+    nb = P // fb
+    cap = fb * max_deg + 8          # +8 covers the start down-alignment
+    key = jnp.where(valid, ii, P)
+    order = jnp.argsort(key, stable=True)
+    ii_s = key[order]                       # invalid edges sort to P
+    jj_s = jj[order]
+    starts = jnp.searchsorted(ii_s, jnp.arange(0, P, fb))
+    starts = (starts // 8) * 8              # sublane-aligned DMA starts
+    cstart = jnp.minimum(starts, jnp.maximum(E8 - cap, 0)).astype(jnp.int32)
+
+    rows_raw = cstart[:, None] + jnp.arange(cap)[None, :]   # [nb, cap]
+    in_range = rows_raw < E
+    rows = jnp.minimum(rows_raw, E - 1)
+    rii = jnp.where(in_range, ii_s[rows], P)                # [nb, cap]
+    frames = (jnp.arange(nb) * fb)[:, None, None] \
+        + jnp.arange(fb)[None, None, :]
+    owned = rii[:, :, None] == frames
+    onehot = owned.astype(jnp.float32)
+    jj_pad = jnp.where(owned.any(-1), jj_s[rows], P + 1).astype(jnp.int32)
+    return order, cstart, onehot, jj_pad

@@ -79,3 +79,46 @@ def test_fused_ba_matches_reference_solver(rng):
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref),
                                atol=5e-4)
+
+
+def test_schur_matvec_matches_xla(rng):
+    """Pallas Schur matvec (sorted slabs + one-hot reductions) must match
+    the XLA scatter/einsum expression."""
+    from goslam_tpu.ops.pallas_kernels import (schur_matvec,
+                                               schur_matvec_plan,
+                                               schur_pack)
+
+    P, hw, fb, max_deg = 16, 96, 8, 4
+    ii, jj = [], []
+    for k in range(P):
+        for j in rng.choice(P, rng.integers(1, max_deg + 1), replace=False):
+            ii.append(k)
+            jj.append(int(j))
+    ii = jnp.asarray(np.asarray(ii, np.int32))
+    jj = jnp.asarray(np.asarray(jj, np.int32))
+    E = len(ii)
+    valid = jnp.asarray(rng.random(E) > 0.15)
+    Eij = jnp.asarray(rng.standard_normal((E, 6, hw)).astype(np.float32))
+    Ei = jnp.asarray(rng.standard_normal((P, 6, hw)).astype(np.float32))
+    Q = jnp.asarray(rng.random((P, hw)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((P, 6)).astype(np.float32))
+
+    order, cstart, onehot, jj_pad = schur_matvec_plan(ii, jj, valid, P,
+                                                      max_deg, fb)
+    ii_s, jj_s, valid_s = ii[order], jj[order], valid[order]
+    # the runtime's Eij is weight-masked for invalid edges
+    Eij_s = Eij[order] * valid_s[:, None, None]
+
+    u = jnp.einsum("kah,ka->kh", Ei, x)
+    u = u + jnp.zeros((P, hw)).at[ii_s].add(
+        jnp.einsum("eah,ea->eh", Eij_s, x[jj_s]))
+    u = Q * u
+    want = jnp.einsum("kah,kh->ka", Ei, u)
+    want = want + jnp.zeros((P, 6)).at[jj_s].add(
+        jnp.einsum("eah,eh->ea", Eij_s, u[ii_s]))
+
+    Ei_k, Eij_k, Q_k = schur_pack(Ei, Eij_s, Q)
+    got = schur_matvec(x, Ei_k, Eij_k, Q_k, x[jj_s], cstart, onehot,
+                       jj_pad, fb=fb, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4)
