@@ -40,13 +40,24 @@ from .tracking.video import VideoBuffer
 
 def init_params(seed: int = 0, ht: int = 64, wd: int = 96):
     """Random-initialized DroidNet params.  For pretrained tracking load a
-    converted droid.pth via models.convert.load_torch_checkpoint (the
-    checkpoint is not shipped in the reference snapshot)."""
+    converted droid.pth or a trained synthetic checkpoint via
+    load_pretrained (see goslam_tpu/train)."""
     model = DroidNet(num_frames=8)
     rng = jax.random.PRNGKey(seed)
     img = jnp.zeros((1, ht, wd, 3), jnp.float32)
     variables = model.init(rng, img)
     return variables["params"]
+
+
+def load_pretrained(path: str):
+    """Load tracking params from either a torch droid.pth (reference's
+    checkpoint, slam.py:196-208) or a goslam_tpu trainer pickle."""
+    if path.endswith((".pth", ".pt")):
+        from .models.convert import load_torch_checkpoint
+        return load_torch_checkpoint(path)["params"]
+    from .train.trainer import load_checkpoint
+    params, _ = load_checkpoint(path)
+    return params
 
 
 @dataclasses.dataclass
@@ -77,8 +88,7 @@ class SLAMSystem:
         if params is None:
             pre = tr.get("pretrained", "")
             if pre and os.path.exists(pre):
-                from .models.convert import load_torch_checkpoint
-                params = load_torch_checkpoint(pre)["params"]
+                params = load_pretrained(pre)
             else:
                 params = init_params(ht=cam["H_out"], wd=cam["W_out"])
         self.params = params

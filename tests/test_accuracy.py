@@ -1,0 +1,62 @@
+"""End-to-end tracking accuracy with the trained synthetic checkpoint.
+
+The reference's quality story rests on DROID's pretrained droid.pth
+(slam.py:196-208); this environment has no egress, so accuracy is gated
+on the in-tree synthetic-domain checkpoint (scripts/train_synthetic.py).
+Held-out scene: the Synthetic dataset class generates a different
+trajectory/texture than the trainer's randomized clips.
+"""
+import os
+
+import numpy as np
+import pytest
+
+CKPT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "checkpoints", "droid_synthetic.ckpt")
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT),
+                    reason="train checkpoints/droid_synthetic.ckpt first "
+                           "(scripts/train_synthetic.py)")
+def test_e2e_ate_with_trained_weights(tmp_path):
+    from goslam_tpu.config import default_config, update_recursive
+    from goslam_tpu.data.synthetic import Synthetic
+    from goslam_tpu.system import SLAMSystem, load_pretrained
+
+    cfg = default_config()
+    update_recursive(cfg, {
+        "dataset": "synthetic", "mode": "rgbd",
+        "cam": {"H": 64, "W": 96, "H_out": 64, "W_out": 96,
+                "H_edge": 0, "W_edge": 0},
+        "data": {"input_folder": "", "n_frames": 40, "output": "",
+                 "room_half_size": 3.0},
+        "tracking": {
+            "buffer": 64, "warmup": 4,
+            "motion_filter": {"thresh": -1.0},
+            "frontend": {"window": 8, "max_factors": 32,
+                         "enable_loop": False, "keyframe_thresh": 1.0},
+            "global_ba_every": 10,
+        },
+    })
+    ds = Synthetic(cfg)
+    params = load_pretrained(CKPT)
+    slam = SLAMSystem(cfg, params=params, output=str(tmp_path),
+                      only_tracking=True)
+    for i in range(len(ds)):
+        idx, img, depth, intr, gt = ds[i]
+        slam.track(float(i), img, depth, intr, gt)
+
+    def stream():
+        for i in range(len(ds)):
+            idx, img, depth, intr, gt = ds[i]
+            yield float(i), img, depth, intr, gt
+
+    metrics = slam.terminate(stream=stream())
+    ate = metrics["ate"]["rmse"]
+    print(f"trained-checkpoint ATE rmse: {ate:.4f} m "
+          f"(scale {metrics['ate']['scale']:.3f})")
+    # random weights score ~0.6 m on this scene (round-2 demo); the
+    # trained checkpoint must do far better in absolute terms
+    assert ate < 0.05, f"ATE {ate} too high for trained weights"
