@@ -93,7 +93,7 @@ def bench_full_ba():
     return P, E, float(np.median(times))
 
 
-def bench_tracked_fps(n_frames: int = 48, warmup: int = 12):
+def bench_tracked_fps(n_frames: int = 120, warmup: int = 24):
     """Per-frame tracking throughput: motion filter + frontend over
     synthetic frames at ScanNet geometry (240x320), mapping off."""
     from goslam_tpu.config import default_config
@@ -120,10 +120,12 @@ def bench_tracked_fps(n_frames: int = 48, warmup: int = 12):
         idx, img, depth, intr, gt = frames[i]
         slam.track(float(i), img, depth, intr, gt)
 
+    slam.flush()
     t0 = time.time()
     for i in range(warmup, n_frames):
         idx, img, depth, intr, gt = frames[i]
         slam.track(float(i), img, depth, intr, gt)
+    slam.flush()
     # materialize device state (tunnel-safe sync)
     float(slam.video.poses[:max(slam.video.counter, 1)].sum())
     dt = time.time() - t0
@@ -139,6 +141,9 @@ def main():
     P, E, secs = bench_full_ba()
 
     try:
+        # two passes: the first absorbs jit compiles + tunnel warmup, the
+        # second measures the steady state a long-running SLAM session sees
+        bench_tracked_fps(n_frames=60, warmup=24)
         fps = bench_tracked_fps()
     except Exception as e:  # noqa: BLE001 — FPS is auxiliary
         print(f"WARN tracked-FPS bench failed: {type(e).__name__}: {e}",

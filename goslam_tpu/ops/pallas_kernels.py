@@ -147,22 +147,24 @@ def _edge_system_kernel(wd: int, eb: int,
     Eij_ref[:] = (eu[:, None, :] * Ju_ref[:, 6:12, :]
                   + ev[:, None, :] * Jv_ref[:, 6:12, :])
 
-    # Gram products on the MXU: G = (A w) A^T with the residual as row 12,
-    # so H = G[:12,:12] and v = G[12,:12] from one dot per (edge, u/v)
+    # Gram products on the MXU: G = (W A) A^T with the residual as row 12,
+    # so H = G[:12,:12] and v = G[12,:12].  The eb edges are stacked into
+    # ONE [eb*16, hw] x [hw, eb*16] dot (a full 128x128 MXU tile at eb=8)
+    # instead of eb tiny 16x16-output dots at ~1.5% MXU utilization; the
+    # cross-edge blocks of G are discarded.  HIGHEST keeps the fp32
+    # mantissa through the MXU (the SURVEY mixed-precision contract keeps
+    # BA/geometry in fp32).
+    Au = Ju_ref[:].reshape(eb * 16, -1)                 # [eb*16, hw]
+    Av = Jv_ref[:].reshape(eb * 16, -1)
+    WAu = (Ju_ref[:] * wu_p[:, None, :]).reshape(eb * 16, -1)
+    WAv = (Jv_ref[:] * wv_p[:, None, :]).reshape(eb * 16, -1)
+    G = (jnp.dot(WAu, Au.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+         + jnp.dot(WAv, Av.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST))
     for e in range(eb):
-        Au = Ju_ref[e]                                  # [16, hw]
-        Av = Jv_ref[e]
-        # HIGHEST keeps the fp32 mantissa through the MXU (3-pass bf16);
-        # the dots are a small fraction of kernel time, and the SURVEY
-        # mixed-precision contract keeps BA/geometry in fp32
-        G = (jnp.dot(Au * wu_p[e][None, :], Au.T,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-             + jnp.dot(Av * wv_p[e][None, :], Av.T,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST))
-        H_ref[e] = G[0:12, 0:12]
-        v_ref[e] = G[12, 0:12]
+        H_ref[e] = G[e * 16:e * 16 + 12, e * 16:e * 16 + 12]
+        v_ref[e] = G[e * 16 + 12, e * 16:e * 16 + 12]
 
 
 @functools.partial(jax.jit,

@@ -121,15 +121,72 @@ class SLAMSystem:
         # generate_video_on_scannet.sh:16-26 + tools/meshvideo.py)
         self.make_video = bool(self.cfg.get("make_video", False))
 
+        # Ingest pipelining: frames are staged on host, shipped to the
+        # device as ONE uint8 batch transfer every `ingest_batch` frames,
+        # and their device-side admit decisions consumed `pipeline_lag`
+        # frames later.  The reference overlaps this work with its process
+        # parallelism (slam.py:373-390); here the overlap is the device
+        # queue, hiding the per-frame host<->device round trips (which
+        # dominate behind a tunneled TPU).
+        self.ingest_batch = int(tr.get("ingest_batch", 16))
+        self.pipeline_lag = int(tr.get("pipeline_lag", 16))
+        self._staged = []
+        self._pending = []
+
     # ------------------------------------------------------------------
     def track(self, timestamp, image, depth=None, intrinsics=None,
               gt_pose=None):
-        """Feed one frame (image [rig, ht, wd, 3] float in [0,1])."""
+        """Feed one frame (image [rig, ht, wd, 3] float in [0,1]).
+
+        Frames are staged and shipped in batches; the returned value is
+        the admit decision of a frame `pipeline_lag` frames back (None
+        while the pipeline is filling).  Call flush() before reading
+        tracking state."""
         self.frame_count += 1
-        if depth is not None:
-            depth = jnp.asarray(depth)
-        is_kf = self.motion_filter.track(timestamp, jnp.asarray(image),
-                                         depth, intrinsics, gt_pose)
+        self._staged.append((timestamp, np.asarray(image),
+                             None if depth is None else np.asarray(depth),
+                             intrinsics, gt_pose))
+        if len(self._staged) >= self.ingest_batch:
+            self._submit_staged()
+        is_kf = None
+        while len(self._pending) > self.pipeline_lag:
+            is_kf = self._drain_one()
+        return is_kf
+
+    def _submit_staged(self):
+        """Ship staged frames as one uint8 batch transfer and enqueue
+        their motion-filter steps (padded to ingest_batch so the step
+        compiles once)."""
+        items = self._staged
+        self._staged = []
+        n, K = len(items), self.ingest_batch
+        imgs = np.stack([f[1] for f in items])
+        if imgs.dtype != np.uint8:   # quantize for the wire; the datasets'
+            # sources are 8-bit to begin with (datasets.py loads PNG/JPG)
+            imgs = np.clip(imgs * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        deps = None
+        if all(f[2] is not None for f in items):
+            # fp16 on the wire (~2 mm quantization at 3 m — far below
+            # sensor noise); converted back to f32 on device
+            deps = np.stack([f[2] for f in items]).astype(np.float16)
+        if n < K:                    # pad the final partial batch
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], K - n, 0)])
+            if deps is not None:
+                deps = np.concatenate(
+                    [deps, np.repeat(deps[-1:], K - n, 0)])
+        batch = jax.device_put((imgs, deps))
+        self._pending += self.motion_filter.step_batch_async(
+            [(f[0], f[3], f[4]) for f in items], batch[0], batch[1])
+
+    def flush(self):
+        """Drain all in-flight frames (call before reading tracking state)."""
+        if self._staged:
+            self._submit_staged()
+        while self._pending:
+            self._drain_one()
+
+    def _drain_one(self):
+        is_kf = self.motion_filter.resolve(self._pending.pop(0))
         self.frontend()
 
         if is_kf and self.frontend.is_initialized:
@@ -187,6 +244,7 @@ class SLAMSystem:
     def finalize_tracking(self, final_steps: int = 6):
         """Final global BA passes (the reference runs dense_ba twice when
         tracking ends, slam.py:236-241)."""
+        self.flush()
         n = self.video.counter
         if n > 2 and self.frontend.is_initialized:
             self.backend.dense_ba(0, n, steps=final_steps)

@@ -1,4 +1,4 @@
-"""Keyframe admission by optical-flow magnitude.
+"""Keyframe admission by optical-flow magnitude — pipelined.
 
 Re-design of /root/reference/src/motion_filter.py: per incoming frame,
 encode matching features, estimate flow against the last keyframe with a
@@ -6,10 +6,22 @@ single update-operator iteration at zero flow, and admit the frame as a
 keyframe when the mean predicted flow exceeds a threshold (default 4 px,
 configs/go_slam.yaml:52).
 
-All device work is two jitted closures (encode, flow-magnitude); the
-admit/reject branch is host logic, as in the reference.
+TPU-first structure: the whole per-frame computation — feature encoding,
+context encoding, zero-flow update, the admit decision, AND the rolling
+last-keyframe state update — is ONE jitted step whose branch is a
+device-side `where`.  The host never blocks on the admit flag inside the
+step; it initiates an async device→host copy and reads the flag a few
+frames later (`resolve`).  On a remote/tunneled TPU this removes the
+per-frame host↔device round trip entirely (the reference runs its filter
+synchronously, motion_filter.py:41-83, which is free on a local GPU but
+costs a full RTT per frame here); frames pipeline back-to-back at device
+speed.
 """
 from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,21 +34,38 @@ IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
 IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
 
 
+@dataclasses.dataclass
+class PendingFrame:
+    """A frame whose admit decision is in flight on device."""
+    timestamp: float
+    image: jax.Array               # [rig, ht, wd, 3]
+    depth: Optional[jax.Array]
+    intrinsics: object
+    gt_pose: object
+    admitted: jax.Array            # device bool scalar (async copy started)
+    gmap: jax.Array                # [rig, h8, w8, 128]
+    ctx_net: jax.Array             # [1, h8, w8, 128]
+    ctx_inp: jax.Array
+    first: bool
+
+
 class MotionFilter:
     def __init__(self, params, video: VideoBuffer, thresh: float = 4.0):
         self.params = params
         self.video = video
         self.thresh = thresh
         self.count = 0
+        self._seen_first = False
 
         self.fnet = BasicEncoder(128, "instance")
         self.cnet = BasicEncoder(256, "none")
         self.update = UpdateModule(num_frames=0)
 
-        # rolling context of the last keyframe
-        self.net = None
-        self.inp = None
-        self.fmap = None
+        # rolling last-keyframe context, device-resident
+        h8, w8, rig = video.h8, video.w8, video.rig
+        self.fmap = jnp.zeros((rig, h8, w8, 128), jnp.float32)
+        self.net = jnp.zeros((1, h8, w8, 128), jnp.float32)
+        self.inp = jnp.zeros((1, h8, w8, 128), jnp.float32)
 
         @jax.jit
         def _encode(params, images):
@@ -44,58 +73,129 @@ class MotionFilter:
             x = (images - IMAGENET_MEAN) / IMAGENET_STD
             return self.fnet.apply({"params": params["fnet"]}, x)
 
-        @jax.jit
-        def _context(params, image):
-            """image [1, ht, wd, 3] -> (net, inp) [1, h8, w8, 128]."""
+        def _step_body(params, fmap_prev, net, inp, image, thresh, force):
             x = (image - IMAGENET_MEAN) / IMAGENET_STD
-            ctx = self.cnet.apply({"params": params["cnet"]}, x)
-            net, inp = jnp.split(ctx, 2, axis=-1)
-            return jnp.tanh(net), jax.nn.relu(inp)
+            gmap = self.fnet.apply({"params": params["fnet"]}, x)
+            ctx = self.cnet.apply({"params": params["cnet"]}, x[:1])
+            ctx_net, ctx_inp = jnp.split(ctx, 2, axis=-1)
+            ctx_net = jnp.tanh(ctx_net)
+            ctx_inp = jax.nn.relu(ctx_inp)
 
-        @jax.jit
-        def _flow_mag(params, fmap_prev, fmap_new, net, inp):
-            """Mean |delta| of one update iteration at zero flow
-            (motion_filter.py:66-75)."""
-            pyr = corr.build_pyramid(fmap_prev[None], fmap_new[None])
-            h8, w8 = fmap_prev.shape[0], fmap_prev.shape[1]
+            # one update iteration at zero flow (motion_filter.py:66-75)
+            pyr = corr.build_pyramid(fmap_prev[:1], gmap[:1])
+            h8, w8 = fmap_prev.shape[1], fmap_prev.shape[2]
             coords0 = projective.coords_grid(h8, w8)[None]
             c = corr.lookup(pyr, coords0)
             _, delta, _ = self.update.apply(
                 {"params": params["update"]}, net, inp, c)
-            return jnp.mean(jnp.linalg.norm(delta, axis=-1))
+            mag = jnp.mean(jnp.linalg.norm(delta, axis=-1))
+
+            admitted = (mag > thresh) | force
+            fmap_new = jnp.where(admitted, gmap, fmap_prev)
+            net_new = jnp.where(admitted, ctx_net, net)
+            inp_new = jnp.where(admitted, ctx_inp, inp)
+            return fmap_new, net_new, inp_new, admitted, gmap, ctx_net, \
+                ctx_inp
+
+        @jax.jit
+        def _step(params, fmap_prev, net, inp, image, thresh, force):
+            """Fused per-frame step: encode -> zero-flow update -> admit
+            decision -> conditional rolling-state update, all on device.
+
+            Returns (fmap', net', inp', admitted, gmap, ctx_net, ctx_inp).
+            """
+            return _step_body(params, fmap_prev, net, inp, image, thresh,
+                              force)
+
+        @functools.partial(jax.jit, static_argnames=("has_depth",))
+        def _step_batched(params, fmap_prev, net, inp, imgs_u8, deps, k,
+                          thresh, force, has_depth):
+            """Batched-ingest variant: frames arrive as ONE uint8 batch
+            transfer ([K, rig, ht, wd, 3]; one host->device round trip per
+            K frames instead of per frame); each step slices its frame on
+            device with a traced index.  Returns the per-frame float image
+            (and depth) for the eventual keyframe append."""
+            image = jax.lax.dynamic_index_in_dim(
+                imgs_u8, k, keepdims=False).astype(jnp.float32) / 255.0
+            out = _step_body(params, fmap_prev, net, inp, image, thresh,
+                             force)
+            dep = jax.lax.dynamic_index_in_dim(
+                deps, k, keepdims=False).astype(jnp.float32) \
+                if has_depth else None
+            return out + (image, dep)
 
         self._encode = _encode
-        self._context = _context
-        self._flow_mag = _flow_mag
+        self._step = _step
+        self._step_batched = _step_batched
 
+    # ------------------------------------------------------------------
+    def step_async(self, timestamp, image, depth=None, intrinsics=None,
+                   gt_pose=None) -> PendingFrame:
+        """Enqueue one frame; returns immediately with the in-flight
+        decision.  image: [rig, ht, wd, 3] in [0,1]."""
+        first = not self._seen_first
+        self._seen_first = True
+        (self.fmap, self.net, self.inp, admitted, gmap, ctx_net,
+         ctx_inp) = self._step(
+            self.params, self.fmap, self.net, self.inp, image,
+            jnp.asarray(self.thresh, jnp.float32),
+            jnp.asarray(first))
+        try:
+            admitted.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — backend without async copies
+            pass
+        return PendingFrame(timestamp, image, depth, intrinsics, gt_pose,
+                            admitted, gmap, ctx_net, ctx_inp, first)
+
+    def step_batch_async(self, items, imgs_u8, deps):
+        """Enqueue a batch of frames transferred as one uint8 stack.
+
+        items: list of (timestamp, intrinsics, gt_pose); imgs_u8:
+        [K, rig, ht, wd, 3] device uint8; deps: [K, ht, wd] device or None.
+        Returns a list of PendingFrame.
+        """
+        out = []
+        dep_dummy = deps if deps is not None else jnp.zeros((1,), jnp.float32)
+        for k, (timestamp, intrinsics, gt_pose) in enumerate(items):
+            first = not self._seen_first
+            self._seen_first = True
+            (self.fmap, self.net, self.inp, admitted, gmap, ctx_net,
+             ctx_inp, image_f, dep_f) = self._step_batched(
+                self.params, self.fmap, self.net, self.inp, imgs_u8,
+                dep_dummy, jnp.asarray(k, jnp.int32),
+                jnp.asarray(self.thresh, jnp.float32),
+                jnp.asarray(first), has_depth=deps is not None)
+            try:
+                admitted.copy_to_host_async()
+            except Exception:  # noqa: BLE001
+                pass
+            out.append(PendingFrame(timestamp, image_f, dep_f, intrinsics,
+                                    gt_pose, admitted, gmap, ctx_net,
+                                    ctx_inp, first))
+        return out
+
+    def resolve(self, p: PendingFrame) -> bool:
+        """Read the admit flag (ready by now when lagged) and, on admit,
+        append the keyframe from the stashed device tensors."""
+        admitted = bool(p.admitted)
+        if not admitted:
+            self.count += 1
+            return False
+        self.count = 0
+        s = float(self.video.device_scale)
+        intr = jnp.asarray(p.intrinsics) / s if p.intrinsics is not None \
+            else None
+        pose = lie.identity() if p.first else None
+        disp = 1.0 if p.first else None
+        self.video.append(p.timestamp, p.image[0], pose, disp, p.depth,
+                          intr, p.gmap, p.ctx_net[0], p.ctx_inp[0],
+                          p.gt_pose)
+        return True
+
+    # ------------------------------------------------------------------
     def track(self, timestamp, image, depth=None, intrinsics=None,
               gt_pose=None):
-        """Process one frame. image: [rig, ht, wd, 3] in [0,1]
-        (rig=2 for stereo); depth: [ht, wd] or None.
-
-        Returns True if the frame was admitted as a keyframe.
-        """
-        s = float(self.video.device_scale)
-        gmap = self._encode(self.params, image)
-
-        if self.video.counter == 0:
-            net, inp = self._context(self.params, image[:1])
-            self.net, self.inp, self.fmap = net, inp, gmap
-            self.video.append(timestamp, image[0], lie.identity(), 1.0,
-                              depth, jnp.asarray(intrinsics) / s, gmap,
-                              net[0], inp[0], gt_pose)
-            return True
-
-        mag = float(self._flow_mag(self.params, self.fmap[0], gmap[0],
-                                   self.net, self.inp))
-        if mag > self.thresh:
-            self.count = 0
-            net, inp = self._context(self.params, image[:1])
-            self.net, self.inp, self.fmap = net, inp, gmap
-            self.video.append(timestamp, image[0], None, None, depth,
-                              jnp.asarray(intrinsics) / s, gmap,
-                              net[0], inp[0], gt_pose)
-            return True
-
-        self.count += 1
-        return False
+        """Synchronous path (blocks on the decision): process one frame,
+        return True if admitted as a keyframe."""
+        return self.resolve(self.step_async(timestamp, image, depth,
+                                            intrinsics, gt_pose))

@@ -54,6 +54,7 @@ def test_full_pipeline_smoke(params, tmp_path):
     for i in range(len(ds)):
         idx, img, depth, intr, gt = ds[i]
         slam.track(float(i), img, depth, intr, gt)
+    slam.flush()
 
     assert slam.video.counter >= 4
     assert np.isfinite(
@@ -81,6 +82,7 @@ def test_checkpoint_roundtrip(params, tmp_path):
     for i in range(6):
         idx, img, depth, intr, gt = ds[i]
         slam.track(float(i), img, depth, intr, gt)
+    slam.flush()
     p = str(tmp_path / "ck.pkl")
     slam.save_checkpoint(p)
 
@@ -105,6 +107,7 @@ def test_stereo_machinery(params):
         right = np.roll(base, 2 * k + 1, axis=1)   # fake baseline shift
         img = jnp.asarray(np.stack([left, right]))
         slam.track(float(k), img, None, intr)
+    slam.flush()
     assert slam.video.counter >= 4
     assert slam.video.rig == 2
     # stereo self-edges present in the frontend graph
@@ -140,3 +143,45 @@ def test_mapper_pose_ba_path(params):
     out = m()
     assert out is not None
     assert np.isfinite(float(out["total"]))
+
+
+@pytest.mark.quick
+def test_pipelined_ingest_matches_sync(params):
+    """The batched uint8 ingest pipeline (SLAMSystem.track) must admit the
+    same keyframes as the synchronous MotionFilter path on the same
+    stream (quantization on the wire notwithstanding — the sync reference
+    here consumes the same uint8-roundtripped frames)."""
+    from goslam_tpu.system import SLAMSystem
+    from goslam_tpu.tracking.motion_filter import MotionFilter
+    from goslam_tpu.tracking.video import VideoBuffer
+
+    cfg = demo_cfg()
+    cfg["tracking"]["motion_filter"]["thresh"] = 2.0   # mixed admit/reject
+    cfg["tracking"]["ingest_batch"] = 4
+    cfg["tracking"]["pipeline_lag"] = 5
+    ds = Synthetic(cfg)
+    intr = None
+
+    # pipelined system path
+    slam = SLAMSystem(cfg, params=params, only_tracking=True)
+    for i in range(len(ds)):
+        idx, img, depth, intr, gt = ds[i]
+        slam.track(float(i), img, depth, intr, gt)
+    slam.flush()
+
+    # synchronous reference path on identically quantized frames
+    video = VideoBuffer(buffer=32, ht=HT, wd=WD)
+    mf = MotionFilter(params, video,
+                      thresh=cfg["tracking"]["motion_filter"]["thresh"])
+    admits = []
+    for i in range(len(ds)):
+        idx, img, depth, intr, gt = ds[i]
+        q = np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(
+            np.uint8).astype(np.float32) / 255.0
+        admits.append(mf.track(float(i), jnp.asarray(q), jnp.asarray(depth),
+                               intr, gt))
+
+    assert video.counter == slam.video.counter
+    np.testing.assert_allclose(
+        np.asarray(video.timestamp[:video.counter]),
+        np.asarray(slam.video.timestamp[:slam.video.counter]), atol=0)

@@ -73,6 +73,7 @@ def test_end_to_end_tracking(params):
 
     for k, img in enumerate(frames):
         slam.track(float(k), img, depth=None, intrinsics=intr)
+    slam.flush()
 
     assert slam.frontend.is_initialized
     assert slam.video.counter >= cfg["tracking"]["warmup"]
@@ -92,6 +93,7 @@ def test_backend_dense_ba(params):
     intr = np.asarray([80.0, 80.0, WD / 2, HT / 2], np.float32)
     for k, img in enumerate(frames):
         slam.track(float(k), img, depth=None, intrinsics=intr)
+    slam.flush()
 
     n, n_edges = slam.backend.dense_ba(0, slam.video.counter, steps=1)
     assert n_edges >= 3 or n_edges == 0
