@@ -76,20 +76,28 @@ def bench_full_ba():
                       lm=1e-5, ep=1e-2, solver=solver, cg_iters=32,
                       max_deg=max_deg)
 
-    # compile + warmup (materialize: block_until_ready alone does not
-    # synchronize through the axon tunnel)
+    # device-side checksum: materializing poses+disps via scalar fetches
+    # (a full disps download through the tunnel costs ~150 ms and is not
+    # part of the work being measured — the runtime chains BA steps
+    # without reading state back, factor_graph.update_lowmem)
+    checksum = jax.jit(lambda p, d: p.sum() + d.sum())
+
+    # compile + warmup
     out = trigger(poses, disps)
-    chk = float(out[0].sum())
+    chk = float(checksum(*out))
     assert np.isfinite(chk), "BA produced non-finite poses"
 
-    times = []
-    for _ in range(3):
+    def run(k=3):
+        """k chained triggers, one sync: throughput per trigger."""
         t0 = time.time()
-        out = trigger(poses, disps)
-        float(out[0].sum())
-        float(out[1].sum())
-        times.append(time.time() - t0)
+        p, d = poses, disps
+        for _ in range(k):
+            p, d = trigger(p, d)
+        float(checksum(p, d))
+        return (time.time() - t0) / k
 
+    run(1)  # second warmup (checksum compile)
+    times = [run() for _ in range(3)]
     return P, E, float(np.median(times))
 
 

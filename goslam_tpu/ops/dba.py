@@ -417,26 +417,32 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
 
         if plan is not None and not motion_only:
             from .pallas_kernels import schur_pack
-            Ei_k, Eij_k, Q_k = schur_pack(Ei, Eij_m, Q)   # once per GN step
+            Hm = jnp.concatenate(
+                [jnp.concatenate([Hii, Hij], axis=2),
+                 jnp.concatenate([Hji, Hjj], axis=2)], axis=1)  # [E, 12, 12]
+            Ei_k, Eij_k, Q_k, H_k = schur_pack(Ei, Eij_m, Q, Hm)
 
         def matvec(x):
             xm = x * pm_f[:, None]
-            yA = jnp.zeros((P, 6), jnp.float32)
-            yA = yA.at[ii].add(
-                jnp.einsum("eab,eb->ea", Hii, xm[ii], precision=HI)
-                + jnp.einsum("eab,eb->ea", Hij, xm[jj], precision=HI),
-                mode="drop")
-            yA = yA.at[jj].add(
-                jnp.einsum("eab,eb->ea", Hji, xm[ii], precision=HI)
-                + jnp.einsum("eab,eb->ea", Hjj, xm[jj], precision=HI),
-                mode="drop")
-            if not motion_only:
-                if plan is not None:
-                    from .pallas_kernels import schur_matvec
-                    cstart, onehot, jj_pad = plan
-                    yS = schur_matvec(xm, Ei_k, Eij_k, Q_k, xm[jj],
-                                      cstart, onehot, jj_pad, fb=8)
-                else:
+            if plan is not None and not motion_only:
+                # ONE fused kernel per iteration: pose-Hessian + Schur
+                # matvec together (one gather for xj, one scatter for the
+                # jj-side contributions)
+                from .pallas_kernels import schur_matvec
+                cstart, onehot, jj_pad = plan
+                yA = schur_matvec(xm, Ei_k, Eij_k, Q_k, H_k, xm[jj],
+                                  cstart, onehot, jj_pad, fb=8)
+            else:
+                yA = jnp.zeros((P, 6), jnp.float32)
+                yA = yA.at[ii].add(
+                    jnp.einsum("eab,eb->ea", Hii, xm[ii], precision=HI)
+                    + jnp.einsum("eab,eb->ea", Hij, xm[jj], precision=HI),
+                    mode="drop")
+                yA = yA.at[jj].add(
+                    jnp.einsum("eab,eb->ea", Hji, xm[ii], precision=HI)
+                    + jnp.einsum("eab,eb->ea", Hjj, xm[jj], precision=HI),
+                    mode="drop")
+                if not motion_only:
                     hw_ = Q.shape[-1]
                     u = jnp.einsum("kah,ka->kh", Ei, xm, precision=HI)
                     u = u + jnp.zeros((P, hw_), jnp.float32).at[ii].add(
@@ -449,7 +455,7 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
                         jnp.einsum("eah,eh->ea", Eij_m, u[ii],
                                    precision=HI),
                         mode="drop")
-                yA = yA - yS
+                    yA = yA - yS
             y = (yA + damp * xm) * pm_f[:, None]
             return y + x * (1 - pm_f)[:, None]
 

@@ -278,66 +278,119 @@ def build_edge_system_fused(poses, disps, intrinsics, target, weight,
 
 def _schur_matvec_kernel(fb: int, cap: int,
                          cstart_ref, x_ref, ei_ref, q_ref, oh_ref,
-                         xj_ref, eij_hbm,
+                         xj_ref, eij_hbm, h_hbm,
                          yf_ref, oc_ref,
-                         slab, sem0):
+                         slab, hslab, sem0, sem1):
+    """One block of the full GN system matvec y = (A - E Q E^T) x.
+
+    The pose-Hessian (A) part rides the same slab machinery as the Schur
+    part: per sorted edge, H [12,12] acts on [x[ii]|x[jj]], the ii half
+    reduced in-block via the one-hot, the jj half returned through oc for
+    the single XLA scatter."""
     b = pl.program_id(0)
     start = pl.multiple_of(cstart_ref[b], 8)
 
+    dma1 = pltpu.make_async_copy(
+        h_hbm.at[pl.ds(start, cap)], hslab, sem1)
+    dma1.start()
     dma0 = pltpu.make_async_copy(
         eij_hbm.at[pl.ds(start, cap)], slab, sem0)
     dma0.start()
 
     x_blk = x_ref[pl.ds(b * fb, fb), :]                  # [FB, 6]
+    xj = xj_ref[pl.ds(start, cap), :]                    # [CAP, 8]
+    oh = oh_ref[0]                                       # [CAP, FB]
+
+    # x[ii] per slab row (foreign rows get 0 via the one-hot)
+    x8 = jnp.concatenate(
+        [x_blk, jnp.zeros((fb, 2), jnp.float32)], axis=1)
+    xi = jnp.dot(oh, x8, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)    # [CAP, 8]
+
+    # ---- A part: [yi|yj] = H [xi|xj] per edge ---------------------------
+    # H rows live flat on the lane dim ([CAP, 144]: k = 12a + b); the
+    # matvec is (Hf * (xc @ T)) @ S with constant selector matrices
+    # (Mosaic supports dots where it rejects [CAP,12,12] reshapes):
+    #   T[b, k] = [k % 12 == b]  replicates xc along each block row,
+    #   S[k, a] = [k // 12 == a] sums each 12-lane group.
+    dma1.wait()
+    Hf = hslab[:, :144]                                  # [CAP, 144]
+    xc = jnp.concatenate([xi[:, :6], xj[:, :6]], axis=1)  # [CAP, 12]
+    kk = jax.lax.broadcasted_iota(jnp.int32, (12, 144), 1)
+    bb = jax.lax.broadcasted_iota(jnp.int32, (12, 144), 0)
+    T = (kk % 12 == bb).astype(jnp.float32)
+    kk2 = jax.lax.broadcasted_iota(jnp.int32, (144, 12), 0)
+    aa = jax.lax.broadcasted_iota(jnp.int32, (144, 12), 1)
+    S = (kk2 // 12 == aa).astype(jnp.float32)
+    xc_rep = jnp.dot(xc, T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [CAP, 144]
+    yfull = jnp.dot(Hf * xc_rep, S,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)   # [CAP, 12]
+    yj = yfull[:, 6:12]
+
+    # ---- Schur part ------------------------------------------------------
     ei = ei_ref[:]                                       # [FB, 6, hw]
     # u_mine = Ei^T x (per owned frame)
     u = jnp.sum(ei * x_blk[:, :, None], axis=1)          # [FB, hw]
-    xj = xj_ref[pl.ds(start, cap), :]                    # [CAP, 8]
-
     dma0.wait()
-    G = slab[:]                                          # [CAP, 8, hw]
-
+    G = slab[:].astype(jnp.float32)                      # [CAP, 8, hw]
     # per-edge contribution Eij^T x[jj] (pad rows 6,7 are zero)
     contrib = jnp.sum(G * xj[:, :, None], axis=1)        # [CAP, hw]
-    oh = oh_ref[0]                                       # [CAP, FB]
-    # edge -> frame reduction (invalid slab rows have all-zero one-hot)
+    # edge -> frame reduction (invalid slab rows: all-zero one-hot)
     u = u + jnp.dot(oh.T, contrib,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     u = q_ref[:] * u                                     # [FB, hw]
-
-    # frame part: y_f = Ei u
-    yf_ref[:] = jnp.sum(ei * u[:, None, :], axis=-1)     # [FB, 6]
-
-    # edge part: oc = Eij u[ii]  (broadcast u back to edge rows)
+    # frame part: yf = -Ei u + sum_owned yi
+    yf = -jnp.sum(ei * u[:, None, :], axis=-1)           # [FB, 6]
+    # edge part: oc = yj - Eij u[ii]
     ug = jnp.dot(oh, u, preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST)    # [CAP, hw]
-    oc_ref[0] = jnp.sum(G * ug[:, None, :], axis=-1)     # [CAP, 8]
+    oc = -jnp.sum(G * ug[:, None, :], axis=-1)           # [CAP, 8]
+
+    # (Mosaic can't concat lane-offset slices: accumulate yi through a
+    # [FB, 12] dot and merge yj with lane-slice stores instead)
+    yA = jnp.dot(oh.T, yfull, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)    # [FB, 12]
+    yf_ref[:] = yf + yA[:, 0:6]
+    oc_ref[0, :, 0:6] = oc[:, 0:6] + yj
+    oc_ref[0, :, 6:8] = jnp.zeros((cap, 2), jnp.float32)
 
 
-def schur_pack(Ei, Eij_sorted, Q):
+def schur_pack(Ei, Eij_sorted, Q, H_sorted):
     """Pack the matvec operands to DMA-tileable shapes, once per GN step:
     Eij [E, 6, hw] -> [E8, 8, hwp] (fp32 sublane/lane tiles), Ei/Q padded
-    to hwp lanes. All pad entries are zero so they contribute nothing."""
+    to hwp lanes, H [E, 12, 12] -> [E8, 12, 12].  All pad entries are
+    zero so they contribute nothing."""
     E, _, hw = Eij_sorted.shape
     E8 = ((E + 7) // 8) * 8
     hwp = ((hw + 127) // 128) * 128
-    Eij_p = jnp.pad(Eij_sorted, ((0, E8 - E), (0, 2), (0, hwp - hw)))
+    # Eij rides HBM->VMEM once per CG iteration — it dominates the matvec
+    # traffic, so it travels as bf16 (a ~0.4% relative operator
+    # perturbation, far inside the GN linearization error; quality is
+    # gated against the exact solver in tests/test_dba.py).  Ei/Q stay
+    # fp32.
+    Eij_p = jnp.pad(Eij_sorted, ((0, E8 - E), (0, 2), (0, hwp - hw))
+                    ).astype(jnp.bfloat16)
     Ei_p = jnp.pad(Ei, ((0, 0), (0, 0), (0, hwp - hw)))
     Q_p = jnp.pad(Q, ((0, 0), (0, hwp - hw)))
-    return Ei_p, Eij_p, Q_p
+    # flat lane-aligned layout ([E8, 256]) so the slab DMA tiles cleanly
+    H_p = jnp.pad(H_sorted.reshape(E, 144), ((0, E8 - E), (0, 112)))
+    return Ei_p, Eij_p, Q_p, H_p
 
 
-def schur_matvec(x, Ei, Eij_packed, Q, xj, cstart, onehot, jj_pad,
-                 fb: int = 8, interpret: bool = False):
-    """One Schur-complement matvec y = (E Q E^T) x.
+def schur_matvec(x, Ei, Eij_packed, Q, H_packed, xj, cstart, onehot,
+                 jj_pad, fb: int = 8, interpret: bool = False):
+    """One full GN system matvec y = (A - E Q E^T) x (damping excluded).
 
     Preconditions (prepared once per dba.ba call by `schur_matvec_plan`,
     once per GN step by `schur_pack`, which also lane-pads Ei/Q): edges
-    sorted by ii; Eij_packed [E8, 8, hwp]; cstart [nb] 8-aligned slab
-    starts (start+cap <= E8); onehot [nb, cap, fb] maps slab rows to
-    owned frames (zero rows mask foreign/invalid/pad edges); xj [E, 6]
-    = x[jj] per matvec (tiny).
+    sorted by ii; Eij_packed [E8, 8, hwp]; H_packed [E8, 12, 12] holds
+    the masked pose-pair Hessians in the same order; cstart [nb]
+    8-aligned slab starts (start+cap <= E8); onehot [nb, cap, fb] maps
+    slab rows to owned frames (zero rows mask foreign/invalid/pad edges);
+    xj [E, 6] = x[jj] per matvec (tiny).
     """
     P, _, hw = Ei.shape
     E8 = Eij_packed.shape[0]
@@ -359,7 +412,8 @@ def schur_matvec(x, Ei, Eij_packed, Q, xj, cstart, onehot, jj_pad,
             pl.BlockSpec((1, cap, fb), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),           # onehot
             pl.BlockSpec(memory_space=pltpu.VMEM),           # xj [E8, 8]
-            pl.BlockSpec(memory_space=pltpu.ANY),            # Eij (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),               # Eij (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),               # H (HBM)
         ],
         out_specs=[
             pl.BlockSpec((fb, 6), lambda b: (b, 0),
@@ -372,11 +426,13 @@ def schur_matvec(x, Ei, Eij_packed, Q, xj, cstart, onehot, jj_pad,
             jax.ShapeDtypeStruct((nb, cap, 8), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((cap, 8, Eij_packed.shape[-1]), jnp.float32),
+            pltpu.VMEM((cap, 8, Eij_packed.shape[-1]), Eij_packed.dtype),
+            pltpu.VMEM((cap, 256), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(cstart, x, Ei, Q, onehot, xj8, Eij_packed)
+    )(cstart, x, Ei, Q, onehot, xj8, Eij_packed, H_packed)
 
     # scatter the per-edge contributions to their jj frames (tiny)
     y = yf + jnp.zeros((P, 6), jnp.float32).at[jj_pad.reshape(-1)].add(

@@ -181,3 +181,114 @@ def test_cg_solver_matches_cholesky(rng):
     p_cg, _ = dba.ba(*args, iters=6, solver="cg", lm=1e-5, ep=1e-2)
     e_ch, e_cg = pose_err(p_ch, poses_gt), pose_err(p_cg, poses_gt)
     assert e_cg < 1.05 * e_ch + 1e-6, (e_cg, e_ch)
+
+
+def test_cg_plan_path_matches_xla_cg(rng):
+    """The fused Pallas system matvec (plan path: sorted slabs, in-kernel
+    pose-Hessian + Schur) must produce the same BA solution as the pure
+    XLA CG path. Forces the plan preconditions (P%8==0, enough edges)
+    and interpret-mode kernels so it runs on CPU."""
+    import goslam_tpu.ops.pallas_kernels as pk
+
+    Pn, ht, wd = 16, 8, 12
+    intr = jnp.asarray([6.0, 6.0, wd / 2 - 0.5, ht / 2 - 0.5], jnp.float32)
+    rng2 = np.random.default_rng(7)
+    poses = [lie.identity()]
+    for _ in range(Pn - 1):
+        xi = rng2.normal(size=6).astype(np.float32) * 0.03
+        poses.append(lie.compose(lie.exp(jnp.asarray(xi)), poses[-1]))
+    poses = jnp.stack(poses)
+    disps = jnp.asarray(0.6 + 0.15 * rng2.random((Pn, ht, wd)),
+                        jnp.float32)
+    ii0, jj0 = np.meshgrid(np.arange(Pn), np.arange(Pn), indexing="ij")
+    keep = (ii0 != jj0) & (np.abs(ii0 - jj0) <= 3)        # deg 6 -> E=84
+    ii = jnp.asarray(ii0[keep].astype(np.int32))
+    jj = jnp.asarray(jj0[keep].astype(np.int32))
+    E = int(ii.shape[0])
+    assert ((E + 7) // 8) * 8 >= 8 * 8 + 8                # plan precondition
+    valid = np.ones(E, bool)
+    valid[5] = False
+    coords, _ = projective.transform(poses, disps, intr, ii, jj)
+    tgt = coords + 0.3
+    wgt = jnp.asarray(rng2.random((E, ht, wd, 2)).astype(np.float32))
+    eta = jnp.full(disps.shape, 1e-4, jnp.float32)
+    args = (poses, disps, intr, jnp.zeros_like(disps), tgt, wgt, eta,
+            ii, jj, jnp.asarray(valid), 1, Pn)
+
+    p_x, d_x = dba.ba(*args, iters=2, solver="cg", cg_iters=64,
+                      max_deg=8, fused=False)
+
+    orig_b, orig_m = pk.build_edge_system_fused, pk.schur_matvec
+
+    def build_i(*a, **kw):
+        kw["interpret"] = True
+        return orig_b(*a, **kw)
+
+    def mv_i(*a, **kw):
+        kw["interpret"] = True
+        return orig_m(*a, **kw)
+
+    pk.build_edge_system_fused = build_i
+    pk.schur_matvec = mv_i
+    try:
+        p_f, d_f = dba.ba(*args, iters=2, solver="cg", cg_iters=64,
+                          max_deg=8, fused=True)
+    finally:
+        pk.build_edge_system_fused = orig_b
+        pk.schur_matvec = orig_m
+    # the plan path's Eij slab travels as bf16 (~0.4% operator
+    # perturbation) — both paths must land on the same GN solution to
+    # within that scale
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_x), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_x), atol=1e-2)
+    # and the perturbed solve must still reduce the objective like the
+    # exact one: compare reprojection error at both solutions
+    c_x, _ = projective.transform(p_x, d_x, intr, ii, jj)
+    c_f, _ = projective.transform(p_f, d_f, intr, ii, jj)
+    r_x = float(jnp.abs(c_x - tgt).mean())
+    r_f = float(jnp.abs(c_f - tgt).mean())
+    assert r_f < 1.05 * r_x + 1e-6, (r_f, r_x)
+
+
+def test_cg_budget_quality_at_backend_scale(rng):
+    """The runtime's CG budget (cg_iters=32, factor_graph._lowmem_step)
+    must track the exact Cholesky solve's GN trajectory at a
+    backend-representative scale (P=192, band graph)."""
+    import jax
+
+    Pn, ht, wd = 192, 8, 12
+    intr = jnp.asarray([6.0, 6.0, wd / 2 - 0.5, ht / 2 - 0.5], jnp.float32)
+    rng2 = np.random.default_rng(11)
+    xi = np.cumsum(0.02 * rng2.standard_normal((Pn, 6)).astype(np.float32),
+                   axis=0)
+    poses_gt = jax.vmap(lie.exp)(jnp.asarray(xi))
+    disps_gt = jnp.asarray(0.5 + 0.2 * rng2.random((Pn, ht, wd)),
+                           jnp.float32)
+    ii0, jj0 = np.meshgrid(np.arange(Pn), np.arange(Pn), indexing="ij")
+    keep = (ii0 != jj0) & (np.abs(ii0 - jj0) <= 3)
+    ii = jnp.asarray(ii0[keep].astype(np.int32))
+    jj = jnp.asarray(jj0[keep].astype(np.int32))
+    E = int(ii.shape[0])
+    valid = jnp.ones((E,), bool)
+    coords, _ = projective.transform(poses_gt, disps_gt, intr, ii, jj)
+    wgt = jnp.ones((E, ht, wd, 2), jnp.float32)
+    eta = jnp.full(disps_gt.shape, 1e-4, jnp.float32)
+
+    # perturbed start; targets = GT reprojection (consistent optimum)
+    xi_p = 0.02 * rng2.standard_normal((Pn, 6)).astype(np.float32)
+    xi_p[0] = 0
+    poses0 = lie.compose(jax.vmap(lie.exp)(jnp.asarray(xi_p)), poses_gt)
+    args = (poses0, disps_gt, intr, jnp.zeros_like(disps_gt), coords, wgt,
+            eta, ii, jj, valid, 1, Pn)
+
+    p_ch, _ = dba.ba(*args, iters=2, lm=1e-5, ep=1e-2, solver="chol",
+                     fused=False)
+    p_cg, _ = dba.ba(*args, iters=2, lm=1e-5, ep=1e-2, solver="cg",
+                     cg_iters=32, max_deg=8, fused=False)
+
+    e_ch = pose_err(p_ch, poses_gt)
+    e_cg = pose_err(p_cg, poses_gt)
+    # both must reduce the initial error a lot, and CG must not lag chol
+    e0 = pose_err(poses0, poses_gt)
+    assert e_ch < 0.25 * e0
+    assert e_cg < 1.1 * e_ch + 1e-6, (e_cg, e_ch)

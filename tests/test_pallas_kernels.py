@@ -82,8 +82,8 @@ def test_fused_ba_matches_reference_solver(rng):
 
 
 def test_schur_matvec_matches_xla(rng):
-    """Pallas Schur matvec (sorted slabs + one-hot reductions) must match
-    the XLA scatter/einsum expression."""
+    """Pallas fused system matvec (pose-Hessian + Schur, sorted slabs +
+    one-hot reductions) must match the XLA scatter/einsum expression."""
     from goslam_tpu.ops.pallas_kernels import (schur_matvec,
                                                schur_matvec_plan,
                                                schur_pack)
@@ -101,24 +101,36 @@ def test_schur_matvec_matches_xla(rng):
     Eij = jnp.asarray(rng.standard_normal((E, 6, hw)).astype(np.float32))
     Ei = jnp.asarray(rng.standard_normal((P, 6, hw)).astype(np.float32))
     Q = jnp.asarray(rng.random((P, hw)).astype(np.float32))
+    H = jnp.asarray(rng.standard_normal((E, 12, 12)).astype(np.float32))
     x = jnp.asarray(rng.standard_normal((P, 6)).astype(np.float32))
 
     order, cstart, onehot, jj_pad = schur_matvec_plan(ii, jj, valid, P,
                                                       max_deg, fb)
     ii_s, jj_s, valid_s = ii[order], jj[order], valid[order]
-    # the runtime's Eij is weight-masked for invalid edges
-    Eij_s = Eij[order] * valid_s[:, None, None]
+    # the runtime's Eij/H are weight-masked for invalid edges; the slab
+    # travels as bf16 (schur_pack), so the reference sees the same rounding
+    Eij_s = (Eij[order] * valid_s[:, None, None]).astype(
+        jnp.bfloat16).astype(jnp.float32)
+    H_s = H[order] * valid_s[:, None, None]
 
+    # XLA reference: pose-Hessian part ...
+    want = jnp.zeros((P, 6)).at[ii_s].add(
+        jnp.einsum("eab,eb->ea", H_s[:, :6, :6], x[ii_s])
+        + jnp.einsum("eab,eb->ea", H_s[:, :6, 6:], x[jj_s]))
+    want = want.at[jj_s].add(
+        jnp.einsum("eab,eb->ea", H_s[:, 6:, :6], x[ii_s])
+        + jnp.einsum("eab,eb->ea", H_s[:, 6:, 6:], x[jj_s]))
+    # ... minus the Schur part
     u = jnp.einsum("kah,ka->kh", Ei, x)
     u = u + jnp.zeros((P, hw)).at[ii_s].add(
         jnp.einsum("eah,ea->eh", Eij_s, x[jj_s]))
     u = Q * u
-    want = jnp.einsum("kah,kh->ka", Ei, u)
-    want = want + jnp.zeros((P, 6)).at[jj_s].add(
+    want = want - jnp.einsum("kah,kh->ka", Ei, u)
+    want = want - jnp.zeros((P, 6)).at[jj_s].add(
         jnp.einsum("eah,eh->ea", Eij_s, u[ii_s]))
 
-    Ei_k, Eij_k, Q_k = schur_pack(Ei, Eij_s, Q)
-    got = schur_matvec(x, Ei_k, Eij_k, Q_k, x[jj_s], cstart, onehot,
+    Ei_k, Eij_k, Q_k, H_k = schur_pack(Ei, Eij_s, Q, H_s)
+    got = schur_matvec(x, Ei_k, Eij_k, Q_k, H_k, x[jj_s], cstart, onehot,
                        jj_pad, fb=fb, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4)
