@@ -193,11 +193,16 @@ class InstantNeuS(nn.Module):
 
 
 def compute_sdf_losses(sdf, z_vals, gt_depth, truncation: float,
-                       sparse_factor: float):
+                       sparse_factor: float, psum=None):
     """Truncation-band SDF loss + free-space loss (InstantNeuS.py:372-400).
 
     sdf/z_vals: [R, S]; gt_depth: [R] (0 = invalid).
     Returns (sdf_loss, front_loss) scalars.
+
+    psum: optional cross-shard sum (e.g. partial(jax.lax.psum,
+    axis_name=...)) so a ray-sharded caller normalizes by the GLOBAL
+    valid-ray count — making the sharded loss bit-comparable to the
+    single-device one (parallel/sharded_mapping.py).
     """
     gt = gt_depth[:, None]
     ray_ok = (gt_depth > 0).astype(jnp.float32)
@@ -209,14 +214,18 @@ def compute_sdf_losses(sdf, z_vals, gt_depth, truncation: float,
         * ray_ok[:, None]
 
     n_valid = front_mask.sum(1) + sdf_mask.sum(1) + 1e-8
-    n_rays = jnp.maximum(ray_ok.sum(), 1.0)
+    n_rays_local = ray_ok.sum()
+    n_rays = jnp.maximum(psum(n_rays_local) if psum is not None
+                         else n_rays_local, 1.0)
 
     front_loss = jnp.maximum(
         jnp.exp(jnp.clip(-sparse_factor * sdf, a_max=10.0)) - 1.0,
         sdf - bound_dist)
     front_loss = jnp.clip(front_loss, a_min=0.0) * front_mask
-    front_err = (front_loss.sum(1) / n_valid).sum() / n_rays
-
-    sdf_err = (jnp.abs(sdf - bound_dist) * sdf_mask).sum(1) / n_valid
-    sdf_err = sdf_err.sum() / n_rays
-    return sdf_err, front_err
+    front_sum = (front_loss.sum(1) / n_valid).sum()
+    sdf_sum = ((jnp.abs(sdf - bound_dist) * sdf_mask).sum(1)
+               / n_valid).sum()
+    if psum is not None:
+        front_sum = psum(front_sum)
+        sdf_sum = psum(sdf_sum)
+    return sdf_sum / n_rays, front_sum / n_rays

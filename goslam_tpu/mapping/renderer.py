@@ -20,16 +20,24 @@ import jax.numpy as jnp
 
 
 def sample_z_vals(key, rays_o, rays_d, gt_depth, bound, n_samples: int,
-                  n_surface: int, perturb: float):
-    """Returns (z_vals [R, n_samples+n_surface], sample_dist [R, 1])."""
+                  n_surface: int, perturb: float, depth_max=None):
+    """Returns (z_vals [R, n_samples+n_surface], sample_dist [R, 1]).
+
+    depth_max: optional override of the batch-global max(gt_depth) used
+    by the far clamp and invalid-ray surface range (render.py:104-142) —
+    a ray-sharded caller passes the pmax so every shard samples as the
+    unsharded batch would (parallel/sharded_mapping.py).
+    """
     R = rays_o.shape[0]
     gt = gt_depth[:, None]
     near = gt * 0.01 + jnp.where(gt > 0, 0.0, 0.01)
+    if depth_max is None:
+        depth_max = gt_depth.max()
 
     t = (bound.T[None] - rays_o[:, None, :]) / jnp.where(
         jnp.abs(rays_d[:, None, :]) < 1e-9, 1e-9, rays_d[:, None, :])
     far_bb = jnp.max(t, axis=1).min(axis=1, keepdims=True) + 0.01
-    far = jnp.clip(far_bb, 0.0, jnp.maximum((gt_depth * 1.2).max(), 1e-3))
+    far = jnp.clip(far_bb, 0.0, jnp.maximum(depth_max * 1.2, 1e-3))
 
     tv = jnp.linspace(0.0, 1.0, n_samples)[None]
     z_vals = near + (far - near) * tv
@@ -47,7 +55,7 @@ def sample_z_vals(key, rays_o, rays_d, gt_depth, bound, n_samples: int,
         valid = (gt > 0).astype(jnp.float32)
         znear, zfar = 0.9 * gt, 1.1 * gt
         z_surf_valid = znear + (zfar - znear) * ts
-        z_surf_invalid = 0.001 + (gt_depth.max() - 0.001) * ts
+        z_surf_invalid = 0.001 + (depth_max - 0.001) * ts
         z_surf = z_surf_valid * valid + z_surf_invalid * (1 - valid)
         z_vals = jnp.sort(jnp.concatenate([z_vals, z_surf], axis=1), axis=1)
 
@@ -56,10 +64,11 @@ def sample_z_vals(key, rays_o, rays_d, gt_depth, bound, n_samples: int,
 
 def render_rays(model, params, key, rays_o, rays_d, gt_depth, bound,
                 realtime_bound, n_samples: int, n_surface: int,
-                perturb: float) -> Dict[str, jnp.ndarray]:
+                perturb: float, depth_max=None) -> Dict[str, jnp.ndarray]:
     """Sample + volume render one ray batch (render.py:73-175)."""
     z_vals, sample_dist = sample_z_vals(key, rays_o, rays_d, gt_depth,
-                                        bound, n_samples, n_surface, perturb)
+                                        bound, n_samples, n_surface, perturb,
+                                        depth_max=depth_max)
     dists = jnp.concatenate(
         [z_vals[:, 1:] - z_vals[:, :-1], sample_dist], axis=1)
     return model.apply({"params": params}, rays_o, rays_d, z_vals, dists,

@@ -99,3 +99,91 @@ def test_sharded_ba_matches_reference_solver(rng, n_dev):
                                np.asarray(ref_poses), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out_disps),
                                np.asarray(ref_disps), atol=2e-4)
+
+
+def _tiny_mapper(seed=0):
+    from goslam_tpu.config import default_config, update_recursive
+    from goslam_tpu.mapping.mapper import Mapper
+    from goslam_tpu.tracking.video import VideoBuffer
+
+    cfg = default_config()
+    update_recursive(cfg, {
+        "mapping": {"pixels": 64, "mapping_window_size": 2},
+        "rendering": {"N_samples": 6, "N_surface": 8, "perturb": 0.0},
+    })
+    video = VideoBuffer(buffer=4, ht=16, wd=24)
+    return Mapper(video, cfg, seed=seed)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_mapping_matches_single_device(rng, n_dev):
+    """One ray-sharded mapping step == the Mapper's own jitted step:
+    same loss metrics and same updated params (psum'd normalizers +
+    gradients, SURVEY §2.8 'shard ... the ray dimension of mapping')."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip(f"needs {n_dev} devices "
+                    f"(run with JAX_PLATFORMS=cpu XLA_FLAGS="
+                    f"--xla_force_host_platform_device_count=8)")
+    from goslam_tpu.parallel.sharded_mapping import (
+        make_sharded_map_step_from_cfg, shard_rays)
+
+    mapper = _tiny_mapper()
+    R = 48                           # shard-divisible: exact parity
+    ro = jnp.asarray(0.1 * rng.standard_normal((R, 3)), jnp.float32)
+    rd = jnp.asarray(rng.standard_normal((R, 3)), jnp.float32)
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    gc = jnp.asarray(rng.random((R, 3)), jnp.float32)
+    gd = jnp.asarray(0.5 + rng.random((R,)), jnp.float32)
+    gd = gd.at[5].set(0.0)           # invalid-depth ray
+    bound = jnp.asarray([[-2, 2], [-2, 2], [-2, 2]], jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    p1, _, m1 = mapper._train_step(mapper.params, mapper.opt_state, key,
+                                   ro, rd, gc, gd, bound, bound)
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("rays",))
+    step = make_sharded_map_step_from_cfg(mesh, mapper)
+    ro_p, rd_p, gc_p, gd_p = shard_rays(n_dev, ro, rd, gc, gd)
+    p2, _, m2 = step(mapper.params, mapper.opt_state, key,
+                     ro_p, rd_p, gc_p, gd_p, bound, bound)
+
+    for k in ("color", "depth", "sdf", "eikonal", "total"):
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]), rtol=2e-4,
+                                   err_msg=k)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(flat1, flat2):
+        # reduction-order noise through Adam's rsqrt reaches ~2e-4 on a
+        # handful of near-zero-grad hash entries; the update scale is
+        # grid_lr = 1e-2, so 5e-4 is still a 20x-margin equality check
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4)
+
+
+def test_shard_rays_padding_is_loss_neutral(rng):
+    """Non-divisible ray batches: padded rays must stay finite and leave
+    the valid-normalized loss terms untouched."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from goslam_tpu.parallel.sharded_mapping import (
+        make_sharded_map_step_from_cfg, shard_rays)
+
+    mapper = _tiny_mapper()
+    R = 21
+    ro = jnp.asarray(0.1 * rng.standard_normal((R, 3)), jnp.float32)
+    rd = jnp.asarray(rng.standard_normal((R, 3)), jnp.float32)
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    gc = jnp.asarray(rng.random((R, 3)), jnp.float32)
+    gd = jnp.asarray(0.5 + rng.random((R,)), jnp.float32)
+    bound = jnp.asarray([[-2, 2], [-2, 2], [-2, 2]], jnp.float32)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("rays",))
+    step = make_sharded_map_step_from_cfg(mesh, mapper)
+    ro_p, rd_p, gc_p, gd_p = shard_rays(2, ro, rd, gc, gd)
+    assert ro_p.shape[0] == 22 and float(gd_p[-1]) == 0.0
+    p2, _, m2 = step(mapper.params, mapper.opt_state,
+                     jax.random.PRNGKey(3), ro_p, rd_p, gc_p, gd_p,
+                     bound, bound)
+    for k, v in m2.items():
+        assert np.isfinite(float(v)), k
+    for leaf in jax.tree_util.tree_leaves(p2):
+        assert np.isfinite(np.asarray(leaf)).all()
