@@ -133,6 +133,19 @@ class SLAMSystem:
         self._staged = []
         self._pending = []
 
+        # live viewer (reference: the `visualizing` process, slam.py:280-287
+        # — constructed always, enabled per config; headless here)
+        self.viewer = None
+        if self.cfg.get("viz", False):
+            from .utils.visualization import LiveViewer
+            v = self.cfg.get("viz_options", {}) or {}
+            self.viewer = LiveViewer(
+                self.video, self.output,
+                filter_thresh=v.get("filter_thresh", 0.005),
+                filter_count=v.get("filter_count", 2),
+                stride=v.get("stride", 1),
+                save_every=v.get("save_every", 10))
+
     # ------------------------------------------------------------------
     def track(self, timestamp, image, depth=None, intrinsics=None,
               gt_pose=None):
@@ -207,6 +220,8 @@ class SLAMSystem:
                     if self.multiview_filter() else None)
                 if did_map and self.make_video:
                     self._safe("video_mesh", self._save_intermediate_mesh)
+            if self.viewer is not None:
+                self._safe("viewer", self.viewer.update)
         return is_kf
 
     def _save_intermediate_mesh(self):
@@ -264,6 +279,10 @@ class SLAMSystem:
 
         metrics = {}
         self.finalize_tracking()
+        if self.viewer is not None:
+            self._safe("viewer", self.viewer.update)
+            self.viewer.save_pointcloud()
+            self.viewer.save_cameras()
 
         n = self.video.counter
         self.save_checkpoint(os.path.join(self.output, "go.ckpt"))

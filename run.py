@@ -51,6 +51,9 @@ def main():
     parser.add_argument("--image_size", type=int, nargs=2, default=None)
     parser.add_argument("--calibration_txt", default=None)
     parser.add_argument("--make_video", action="store_true")
+    parser.add_argument("--viz", action="store_true",
+                        help="live point-cloud viewer (headless: writes "
+                             "incremental PLY snapshots to output/pointcloud)")
     args = parser.parse_args()
 
     setup_seed(43)
@@ -85,6 +88,8 @@ def main():
         cfg["cam"].update({"fx": fx, "fy": fy, "cx": cx, "cy": cy})
     if args.make_video:
         cfg["make_video"] = True
+    if args.viz:
+        cfg["viz"] = True
 
     output = cfg["data"]["output"] or "output/run"
     os.makedirs(output, exist_ok=True)

@@ -185,3 +185,44 @@ def test_pipelined_ingest_matches_sync(params):
     np.testing.assert_allclose(
         np.asarray(video.timestamp[:video.counter]),
         np.asarray(slam.video.timestamp[:slam.video.counter]), atol=0)
+
+
+def test_live_viewer(params, tmp_path):
+    """LiveViewer consumes dirty keyframes incrementally and writes PLY
+    snapshots + camera actors (droid_visualization protocol,
+    /root/reference/src/visualization.py:56-205)."""
+    from goslam_tpu.utils.visualization import LiveViewer
+
+    cfg = demo_cfg()
+    cfg["viz"] = True
+    # generous consistency threshold: this fixture tracks with random
+    # weights, so depths are sensor-seeded but poses drift — the test
+    # exercises the viewer protocol, not tracking quality
+    cfg["viz_options"] = {"save_every": 0, "filter_thresh": 2.0,
+                          "stride": 2}
+    ds = Synthetic(cfg)
+    slam = SLAMSystem(cfg, params=params, output=str(tmp_path),
+                      only_tracking=True)
+    assert slam.viewer is not None
+    for i in range(len(ds)):
+        idx, img, depth, intr, gt = ds[i]
+        slam.track(float(i), img, depth, intr, gt)
+    slam.flush()
+    slam.viewer.update()
+    assert not slam.video.dirty[:slam.video.counter].any()
+    assert len(slam.viewer.points) == slam.video.counter
+
+    pc = slam.viewer.save_pointcloud()
+    cams = slam.viewer.save_cameras()
+    assert os.path.exists(pc) and os.path.getsize(pc) > 0
+    assert os.path.exists(cams) and os.path.getsize(cams) > 0
+    n_pts = sum(len(p) for p, _ in slam.viewer.points.values())
+    assert n_pts > 100, n_pts
+
+    # key-binding semantics: halving the threshold re-dirties everything
+    slam.viewer.decrease_filter()
+    assert slam.video.dirty[:slam.video.counter].all()
+    changed = slam.viewer.update()
+    assert changed == slam.video.counter
+    # stricter consistency threshold keeps no more points than before
+    assert sum(len(p) for p, _ in slam.viewer.points.values()) <= n_pts
