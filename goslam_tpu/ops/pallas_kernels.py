@@ -286,17 +286,38 @@ def _schur_matvec_kernel(fb: int, cap: int,
     The pose-Hessian (A) part rides the same slab machinery as the Schur
     part: per sorted edge, H [12,12] acts on [x[ii]|x[jj]], the ii half
     reduced in-block via the one-hot, the jj half returned through oc for
-    the single XLA scatter."""
+    the single XLA scatter.
+
+    Slabs are double-buffered across grid steps (the TPU grid runs
+    sequentially and scratch persists): block b's compute overlaps the
+    HBM->VMEM DMA of block b+1's slabs, which makes the matvec
+    compute-bound instead of alternating DMA/compute."""
     b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    slot = jax.lax.rem(b, 2)
+    nslot = jax.lax.rem(b + 1, 2)
+
+    def eij_copy(blk, s):
+        st = pl.multiple_of(cstart_ref[blk], 8)
+        return pltpu.make_async_copy(
+            eij_hbm.at[pl.ds(st, cap)], slab.at[s], sem0.at[s])
+
+    def h_copy(blk, s):
+        st = pl.multiple_of(cstart_ref[blk], 8)
+        return pltpu.make_async_copy(
+            h_hbm.at[pl.ds(st, cap)], hslab.at[s], sem1.at[s])
+
+    @pl.when(b == 0)
+    def _():
+        h_copy(0, 0).start()
+        eij_copy(0, 0).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        h_copy(b + 1, nslot).start()
+        eij_copy(b + 1, nslot).start()
+
     start = pl.multiple_of(cstart_ref[b], 8)
-
-    dma1 = pltpu.make_async_copy(
-        h_hbm.at[pl.ds(start, cap)], hslab, sem1)
-    dma1.start()
-    dma0 = pltpu.make_async_copy(
-        eij_hbm.at[pl.ds(start, cap)], slab, sem0)
-    dma0.start()
-
     x_blk = x_ref[pl.ds(b * fb, fb), :]                  # [FB, 6]
     xj = xj_ref[pl.ds(start, cap), :]                    # [CAP, 8]
     oh = oh_ref[0]                                       # [CAP, FB]
@@ -313,8 +334,8 @@ def _schur_matvec_kernel(fb: int, cap: int,
     # (Mosaic supports dots where it rejects [CAP,12,12] reshapes):
     #   T[b, k] = [k % 12 == b]  replicates xc along each block row,
     #   S[k, a] = [k // 12 == a] sums each 12-lane group.
-    dma1.wait()
-    Hf = hslab[:, :144]                                  # [CAP, 144]
+    h_copy(b, slot).wait()
+    Hf = hslab[slot, :, :144]                            # [CAP, 144]
     xc = jnp.concatenate([xi[:, :6], xj[:, :6]], axis=1)  # [CAP, 12]
     kk = jax.lax.broadcasted_iota(jnp.int32, (12, 144), 1)
     bb = jax.lax.broadcasted_iota(jnp.int32, (12, 144), 0)
@@ -333,8 +354,8 @@ def _schur_matvec_kernel(fb: int, cap: int,
     ei = ei_ref[:]                                       # [FB, 6, hw]
     # u_mine = Ei^T x (per owned frame)
     u = jnp.sum(ei * x_blk[:, :, None], axis=1)          # [FB, hw]
-    dma0.wait()
-    G = slab[:].astype(jnp.float32)                      # [CAP, 8, hw]
+    eij_copy(b, slot).wait()
+    G = slab[slot].astype(jnp.float32)                   # [CAP, 8, hw]
     # per-edge contribution Eij^T x[jj] (pad rows 6,7 are zero)
     contrib = jnp.sum(G * xj[:, :, None], axis=1)        # [CAP, hw]
     # edge -> frame reduction (invalid slab rows: all-zero one-hot)
@@ -426,10 +447,11 @@ def schur_matvec(x, Ei, Eij_packed, Q, H_packed, xj, cstart, onehot,
             jax.ShapeDtypeStruct((nb, cap, 8), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((cap, 8, Eij_packed.shape[-1]), Eij_packed.dtype),
-            pltpu.VMEM((cap, 256), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, cap, 8, Eij_packed.shape[-1]),
+                       Eij_packed.dtype),
+            pltpu.VMEM((2, cap, 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(cstart, x, Ei, Q, onehot, xj8, Eij_packed, H_packed)

@@ -155,9 +155,15 @@ def make_train_step(cfg: TrainConfig, model: DroidNet, tx):
 
     def loss_fn(params, images, poses_gt, disps_gt, intr8, key):
         h8, w8 = disps_gt.shape[-2:]
-        fmaps = model.apply({"params": params}, images,
+        # ImageNet normalization — MUST match the runtime encode path
+        # (tracking/motion_filter.py:71-77); training on raw [0,1] images
+        # while the runtime feeds normalized ones cost ~4x e2e ATE in
+        # round 2 before this line existed.
+        from ..tracking.motion_filter import IMAGENET_MEAN, IMAGENET_STD
+        x = (images - IMAGENET_MEAN) / IMAGENET_STD
+        fmaps = model.apply({"params": params}, x,
                             method=DroidNet.encode_features)
-        net0, inp = model.apply({"params": params}, images,
+        net0, inp = model.apply({"params": params}, x,
                                 method=DroidNet.encode_context)
         pyramid = corr.build_pyramid(fmaps[ii], fmaps[jj])
 

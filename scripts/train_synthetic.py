@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--ht", type=int, default=64)
+    ap.add_argument("--wd", type=int, default=96)
     ap.add_argument("--scenes", type=int, default=256)
     ap.add_argument("--lr", type=float, default=2.5e-4)
     ap.add_argument("--out", default="checkpoints/droid_synthetic.ckpt")
@@ -31,7 +33,8 @@ def main():
 
     from goslam_tpu.train.trainer import TrainConfig, fit, load_checkpoint
 
-    cfg = TrainConfig(steps=args.steps, n_scenes=args.scenes, lr=args.lr)
+    cfg = TrainConfig(steps=args.steps, n_scenes=args.scenes, lr=args.lr,
+                      ht=args.ht, wd=args.wd)
     params = None
     if args.resume and os.path.exists(args.resume):
         params, _ = load_checkpoint(args.resume)

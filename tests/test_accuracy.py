@@ -26,9 +26,16 @@ def test_e2e_ate_with_trained_weights(tmp_path):
     from goslam_tpu.system import SLAMSystem, load_pretrained
 
     cfg = default_config()
+    # resolution matters: the reference's absolute BA constants
+    # (WEIGHT_SCALE 0.001, ep 0.1, alpha 0.05 — droid_kernels.cu) assume
+    # its operating regime of ~1200-pixel 1/8-res frames with fx/8 >~ 20;
+    # at a toy 64x96 the damping drowns the photometric Hessian and any
+    # sub-pixel flow bias integrates into unbounded drift (round-2
+    # root-cause). The gate therefore runs at 128x192, inside the regime,
+    # with a checkpoint trained at the same scale.
     update_recursive(cfg, {
         "dataset": "synthetic", "mode": "rgbd",
-        "cam": {"H": 64, "W": 96, "H_out": 64, "W_out": 96,
+        "cam": {"H": 128, "W": 192, "H_out": 128, "W_out": 192,
                 "H_edge": 0, "W_edge": 0},
         "data": {"input_folder": "", "n_frames": 40, "output": "",
                  "room_half_size": 3.0},
