@@ -37,6 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import lie
 
@@ -316,12 +317,25 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
     plan = None
     if (fused and solver == "cg" and not motion_only and P % 8 == 0
             and ((E + 7) // 8) * 8 >= 8 * max_deg + 8):
-        from .pallas_kernels import schur_matvec_plan
-        order, cstart, onehot, jj_pad = schur_matvec_plan(
-            ii, jj, valid, P, max_deg, fb=8)
-        ii, jj, valid = ii[order], jj[order], valid[order]
-        target, weight = target[order], weight[order]
-        plan = (cstart, onehot, jj_pad)
+        # slab-capacity precondition: every source frame must own at most
+        # max_deg valid edges, or the block slab silently drops the tail
+        # from the operator while rhs/preconditioner keep it (an
+        # inconsistent system). Runtime callers bucket max_deg from the
+        # true degree; for concrete inputs enforce it here, for traced
+        # inputs it is the caller's contract.
+        deg_ok = True
+        if not isinstance(ii, jax.core.Tracer):
+            ii_c, v_c = np.asarray(ii), np.asarray(valid)
+            if v_c.any():
+                deg_ok = int(np.bincount(
+                    ii_c[v_c], minlength=1).max()) <= max_deg
+        if deg_ok:
+            from .pallas_kernels import schur_matvec_plan
+            order, cstart, onehot, jj_pad = schur_matvec_plan(
+                ii, jj, valid, P, max_deg, fb=8)
+            ii, jj, valid = ii[order], jj[order], valid[order]
+            target, weight = target[order], weight[order]
+            plan = (cstart, onehot, jj_pad)
 
     P6 = P * 6
     frames = jnp.arange(P)

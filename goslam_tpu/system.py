@@ -151,9 +151,10 @@ class SLAMSystem:
               gt_pose=None):
         """Feed one frame (image [rig, ht, wd, 3] float in [0,1]).
 
-        Frames are staged and shipped in batches; the returned value is
-        the admit decision of a frame `pipeline_lag` frames back (None
-        while the pipeline is filling).  Call flush() before reading
+        Frames are staged and shipped in batches; returns the list of
+        admit decisions drained by this call (frames ~`pipeline_lag`
+        back; empty while the pipeline is filling — a staging call can
+        drain zero or several frames).  Call flush() before reading
         tracking state."""
         self.frame_count += 1
         self._staged.append((timestamp, np.asarray(image),
@@ -161,10 +162,10 @@ class SLAMSystem:
                              intrinsics, gt_pose))
         if len(self._staged) >= self.ingest_batch:
             self._submit_staged()
-        is_kf = None
+        drained = []
         while len(self._pending) > self.pipeline_lag:
-            is_kf = self._drain_one()
-        return is_kf
+            drained.append(self._drain_one())
+        return drained
 
     def _submit_staged(self):
         """Ship staged frames as one uint8 batch transfer and enqueue
@@ -178,10 +179,17 @@ class SLAMSystem:
             # sources are 8-bit to begin with (datasets.py loads PNG/JPG)
             imgs = np.clip(imgs * 255.0 + 0.5, 0, 255).astype(np.uint8)
         deps = None
-        if all(f[2] is not None for f in items):
+        if any(f[2] is not None for f in items):
             # fp16 on the wire (~2 mm quantization at 3 m — far below
-            # sensor noise); converted back to f32 on device
-            deps = np.stack([f[2] for f in items]).astype(np.float16)
+            # sensor noise); converted back to f32 on device.  Frames
+            # missing depth in a mixed batch carry zeros — the append
+            # kernel's `sub > 0` masking yields disps_sens = 0 for them,
+            # the same no-prior semantics as the per-frame path (a
+            # missing depth must not drop the other frames' depths).
+            shape = next(f[2].shape for f in items if f[2] is not None)
+            deps = np.stack([
+                f[2] if f[2] is not None else np.zeros(shape, np.float32)
+                for f in items]).astype(np.float16)
         if n < K:                    # pad the final partial batch
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], K - n, 0)])
             if deps is not None:

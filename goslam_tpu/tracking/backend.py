@@ -12,6 +12,7 @@ from copy import deepcopy
 
 import numpy as np
 
+from ..utils.greedy import greedy_nms_scan
 from .factor_graph import FactorGraph
 from .video import VideoBuffer
 
@@ -61,19 +62,11 @@ class Backend:
                 d[max(0, di - nms):di + nms + 1,
                   max(0, dj - nms):dj + nms + 1] = np.inf
 
-        order = np.argsort(d, axis=None)
-        snap = d.reshape(-1)[order]
-        order = order[snap <= thresh]  # snapshot filter (backend.py:62-64)
         n_neigh = 1
-        for k in order:
-            di, dj = k // jlen, k % jlen
-            if d[di, dj] > thresh:
-                # NMS-suppressed after the sort snapshot: skip this
-                # candidate, keep scanning (backend.py:67-72 `continue`s;
-                # breaking here starved the loop/proximity graph)
-                continue
+
+        def accept(di, dj):
             if len(es) > max_factors:
-                break
+                return False
             i, j = di + t_start_loop, dj + t_start
             if loop:
                 # neighborhood-consistency vote (backend.py:79-89)
@@ -87,12 +80,13 @@ class Backend:
                             if si != sj:
                                 sub.append((si, sj))
                 if votes > int(((2 * n_neigh + 1) ** 2) * 0.5):
-                    es += sub
+                    es.extend(sub)
             else:
                 es.append((i, j))
                 es.append((j, i))
-            d[max(0, di - nms):di + nms + 1,
-              max(0, dj - nms):dj + nms + 1] = np.inf
+            return True
+
+        greedy_nms_scan(d, thresh, nms, accept)
         return es
 
     # ------------------------------------------------------------------

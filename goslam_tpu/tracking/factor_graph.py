@@ -28,6 +28,7 @@ import numpy as np
 
 from ..models.droidnet import UpdateModule, upsample_disp
 from ..ops import corr, dba, projective
+from ..utils.greedy import greedy_nms_scan
 from ..utils.shapes import bucket
 from .video import VideoBuffer
 
@@ -282,22 +283,14 @@ class FactorGraph:
                 d[max(0, di - nms):di + nms + 1,
                   max(0, dj - nms):dj + nms + 1] = np.inf
 
-        order = np.argsort(d, axis=None)
-        snap = d.reshape(-1)[order]
-        order = order[snap <= thresh]  # snapshot filter (factor_graph.py:427-429)
-        for k in order:
-            di, dj = k // jlen, k % jlen
-            if d[di, dj] > thresh:
-                # NMS-suppressed after the sort snapshot: skip, don't
-                # terminate (factor_graph.py:431-436 `continue`s; breaking
-                # here made proximity graphs far sparser than the reference)
-                continue
+        def accept(di, dj):
             if len(es) > self.max_factors:
-                break
+                return False
             es.append((di + t0, dj + t1))
             es.append((dj + t1, di + t0))
-            d[max(0, di - nms):di + nms + 1,
-              max(0, dj - nms):dj + nms + 1] = np.inf
+            return True
+
+        greedy_nms_scan(d, thresh, nms, accept)
 
         if es:
             ii, jj = np.asarray(es, np.int32).T

@@ -97,7 +97,9 @@ class LiveViewer:
         dirty = np.flatnonzero(video.dirty[:n])
         if len(dirty) == 0:
             return 0
-        video.dirty[dirty] = False
+        # (dirty bits are cleared only after the compute succeeds — this
+        # runs under SLAMSystem._safe, and a transient failure must not
+        # permanently lose these keyframes from the cloud)
 
         # full-res actors when upsampled disps exist, 1/8-res otherwise
         disps_all = video.disps_up if float(
@@ -116,6 +118,7 @@ class LiveViewer:
             s = video.device_scale
             imgs = imgs[:, 3::s, 3::s][:, :masks.shape[1], :masks.shape[2]]
 
+        video.dirty[dirty] = False
         st = self.stride
         for k, ix in enumerate(dirty):
             m = masks[k][::st, ::st]

@@ -226,3 +226,23 @@ def test_live_viewer(params, tmp_path):
     assert changed == slam.video.counter
     # stricter consistency threshold keeps no more points than before
     assert sum(len(p) for p, _ in slam.viewer.points.values()) <= n_pts
+
+
+def test_mixed_depth_batch_keeps_other_frames_depth(params):
+    """A frame with missing depth in an ingest batch must not drop the
+    other frames' sensor depths (their RGB-D prior depends on them)."""
+    cfg = demo_cfg()
+    cfg["tracking"]["ingest_batch"] = 4
+    cfg["tracking"]["pipeline_lag"] = 0
+    ds = Synthetic(cfg)
+    slam = SLAMSystem(cfg, params=params, only_tracking=True)
+    for i in range(4):
+        idx, img, depth, intr, gt = ds[i]
+        slam.track(float(i), img, None if i == 2 else depth, intr, gt)
+    slam.flush()
+    n = slam.video.counter
+    assert n == 4
+    sens = np.asarray(slam.video.disps_sens[:n])
+    # frames 0,1,3 keep sensor disparity; frame 2 has none
+    assert (sens[[0, 1, 3]] > 0).all()
+    assert (sens[2] == 0).all()
