@@ -45,8 +45,16 @@ class TrainConfig:
     wd: int = 96
     n_frames: int = 7
     radius: int = 2          # graph |i-j| <= radius
-    k_iters: int = 4         # unrolled update iterations
+    k_iters: int = 8         # unrolled update iterations
     ba_iters: int = 2
+    # identity: all poses start at frame 0's pose, disps perturbed —
+    # DROID's training regime, and exactly the runtime's distribution
+    # (zero-motion extrapolation + keyframe admission both present the
+    # net with multi-pixel flows at zero-flow init; a perturbed-GT-only
+    # init taught the round-2 net only sub-pixel residuals and it
+    # saturated at runtime). gt_perturb: small perturbations around GT
+    # (the near-converged regime) — mixed per-step below.
+    init_mode: str = "mixed"
     gamma: float = 0.9
     lr: float = 2.5e-4
     weight_decay: float = 1e-5
@@ -85,7 +93,10 @@ def make_scene(seed: int, cfg: TrainConfig):
 
     # smooth random trajectory inside the room
     a0 = rng.uniform(0, 2 * np.pi)
-    da = rng.uniform(0.02, 0.1) * rng.choice([-1.0, 1.0])
+    # per-frame yaw: up to ~0.15 rad so identity-init edge flows span
+    # 0..~2*0.15*fx8 px — covering the runtime's admission/extrapolation
+    # flow range, not just sub-pixel refinement
+    da = rng.uniform(0.02, 0.15) * rng.choice([-1.0, 1.0])
     rad = rng.uniform(0.4, 0.25 * half)
     c2ws = []
     for k in range(N):
@@ -170,11 +181,20 @@ def make_train_step(cfg: TrainConfig, model: DroidNet, tx):
         gt_coords, _ = projective.transform(poses_gt, disps_gt, intr8,
                                             ii, jj)
 
-        # perturbed init (frame 0 fixed; BA optimizes [1, N))
-        k1, k2 = jax.random.split(key)
+        # init distribution (frame 0 fixed; BA optimizes [1, N)):
+        # half the steps start from identity motion (all frames at frame
+        # 0's pose — the runtime's zero-motion extrapolation / admission
+        # regime, multi-pixel flows), half from small GT perturbations
+        # (the near-converged refinement regime).
+        k1, k2, k3 = jax.random.split(key, 3)
         xi = 0.03 * jax.random.normal(k1, (N, 6))
         xi = xi.at[0].set(0.0)
-        poses = lie.compose(jax.vmap(lie.exp)(xi), poses_gt)
+        poses_pert = lie.compose(jax.vmap(lie.exp)(xi), poses_gt)
+        poses_ident = jnp.broadcast_to(poses_gt[0], poses_gt.shape)
+        use_ident = (jax.random.uniform(k3, ()) < 0.5) \
+            if cfg.init_mode == "mixed" else \
+            jnp.asarray(cfg.init_mode == "identity")
+        poses = jnp.where(use_ident, poses_ident, poses_pert)
         disps = disps_gt * jnp.exp(
             0.2 * jax.random.normal(k2, disps_gt.shape))
 
