@@ -41,7 +41,11 @@ def test_e2e_ate_with_trained_weights(tmp_path):
                  "room_half_size": 3.0},
         "tracking": {
             "buffer": 64, "warmup": 4,
-            "motion_filter": {"thresh": -1.0},
+            # real keyframe spacing (reference thresh 4.0 at its flows):
+            # admitting EVERY frame (thresh -1) makes the per-keyframe
+            # refinement bias large relative to the ~1px inter-frame
+            # motion and integrates into drift regardless of net quality
+            "motion_filter": {"thresh": 2.0},
             "frontend": {"window": 8, "max_factors": 32,
                          "enable_loop": False, "keyframe_thresh": 1.0},
             "global_ba_every": 10,

@@ -1,5 +1,7 @@
 """Mesh culling stack: native depth rasterizer, point masks, full cull
 flow, ICP alignment (reference mesher.py:56-240,339-357,444-480)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -139,3 +141,26 @@ def test_icp_alignment_recovers_offset():
     T2 = M.align_mesh_icp(est, pts, init=init, iters=2, n_sample=500)
     aligned2 = est @ T2[:3, :3].T + T2[:3, 3]
     assert np.abs(aligned2 - pts).max() < 0.02
+
+
+@pytest.mark.quick
+def test_meshvideo_from_run_dir(tmp_path):
+    """make_video renders every mesh/*.ply + trajectory into an mp4
+    (run.py --make_video path, reference tools/meshvideo.py behavior)."""
+    from goslam_tpu.mapping.mesher import save_ply
+    from goslam_tpu.tools.meshvideo import make_video
+
+    run = tmp_path / "run"
+    (run / "mesh").mkdir(parents=True)
+    v = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    t = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    for k in range(2):
+        save_ply(str(run / "mesh" / f"{k:05d}_mesh.ply"), v + 0.1 * k, t)
+    traj = np.tile(np.eye(4, dtype=np.float32), (6, 1, 1))
+    traj[:, 0, 3] = np.linspace(0, 1, 6)
+    np.save(str(run / "est_poses.npy"), traj)
+
+    out = make_video(str(run), fps=2)
+    assert out is not None and os.path.exists(out)
+    assert os.path.getsize(out) > 1000
+    assert len(list((run / "video_frames").glob("*.png"))) == 2
