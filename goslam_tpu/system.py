@@ -439,34 +439,69 @@ class SLAMSystem:
         return None
 
     # ------------------------------------------------------------------
-    def save_checkpoint(self, path: str):
+    def save_checkpoint(self, path: str, full: bool = True):
         """go.ckpt equivalent (slam.py:296-301): both networks' params +
-        keyframe timestamps (+ video pose state for resume — new
-        capability, the reference has no resume path)."""
+        keyframe timestamps/poses/disps — plus, with full=True, the
+        per-keyframe features and context the factor graph needs, so a
+        later run can RESUME tracking (new capability: the reference only
+        saves). Images travel as uint8, features in their bf16 storage
+        dtype; a 512-keyframe ScanNet checkpoint is ~250 MB."""
         n = self.video.counter
+        v = self.video
         state = {
             "tracking_params": jax.tree.map(np.asarray, self.params),
             "mapping_params": jax.tree.map(
                 np.asarray, self.mapper.params) if self.mapper else None,
-            "timestamps": np.asarray(self.video.timestamp[:n]),
-            "poses": np.asarray(self.video.poses[:n]),
-            "disps": np.asarray(self.video.disps[:n]),
+            "timestamps": np.asarray(v.timestamp[:n]),
+            "poses": np.asarray(v.poses[:n]),
+            "disps": np.asarray(v.disps[:n]),
             "counter": n,
         }
+        if full and n:
+            state.update({
+                "images_u8": np.clip(np.asarray(v.images[:n]) * 255.0
+                                     + 0.5, 0, 255).astype(np.uint8),
+                "disps_sens": np.asarray(v.disps_sens[:n]),
+                "fmaps": np.asarray(v.fmaps[:n]),
+                "nets": np.asarray(v.nets[:n]),
+                "inps": np.asarray(v.inps[:n]),
+                "poses_gt": np.asarray(v.poses_gt[:n]),
+                "has_gt": v.has_gt,
+                "intrinsics": np.asarray(v.intrinsics),
+            })
         with open(path, "wb") as f:
             pickle.dump(state, f)
 
     def load_checkpoint(self, path: str):
+        """Restore a checkpoint; a full=True one restores every field the
+        factor graph needs, after which tracking can continue (the motion
+        filter resumes against the last keyframe's features)."""
         with open(path, "rb") as f:
             state = pickle.load(f)
         n = state["counter"]
-        self.video.counter = n
-        self.video.poses = self.video.poses.at[:n].set(
-            jnp.asarray(state["poses"]))
-        self.video.disps = self.video.disps.at[:n].set(
-            jnp.asarray(state["disps"]))
-        self.video.timestamp = self.video.timestamp.at[:n].set(
+        v = self.video
+        v.counter = n
+        v.poses = v.poses.at[:n].set(jnp.asarray(state["poses"]))
+        v.disps = v.disps.at[:n].set(jnp.asarray(state["disps"]))
+        v.timestamp = v.timestamp.at[:n].set(
             jnp.asarray(state["timestamps"]))
+        if "fmaps" in state and n:
+            v.images = v.images.at[:n].set(
+                jnp.asarray(state["images_u8"], jnp.float32) / 255.0)
+            v.disps_sens = v.disps_sens.at[:n].set(
+                jnp.asarray(state["disps_sens"]))
+            v.fmaps = v.fmaps.at[:n].set(jnp.asarray(state["fmaps"]))
+            v.nets = v.nets.at[:n].set(jnp.asarray(state["nets"]))
+            v.inps = v.inps.at[:n].set(jnp.asarray(state["inps"]))
+            v.poses_gt = v.poses_gt.at[:n].set(
+                jnp.asarray(state["poses_gt"]))
+            v.has_gt = bool(state["has_gt"])
+            v.intrinsics = jnp.asarray(state["intrinsics"])
+            # motion filter resumes against the last keyframe
+            self.motion_filter.fmap = v.fmaps[n - 1].astype(jnp.float32)
+            self.motion_filter.net = v.nets[n - 1][None].astype(jnp.float32)
+            self.motion_filter.inp = v.inps[n - 1][None].astype(jnp.float32)
+            self.motion_filter._seen_first = True
         if state.get("mapping_params") is not None and self.mapper:
             self.mapper.params = jax.tree.map(
                 jnp.asarray, state["mapping_params"])

@@ -54,6 +54,11 @@ def main():
     parser.add_argument("--viz", action="store_true",
                         help="live point-cloud viewer (headless: writes "
                              "incremental PLY snapshots to output/pointcloud)")
+    parser.add_argument("--resume", default=None,
+                        help="resume from a go.ckpt written by a previous "
+                             "run (new capability: the reference only "
+                             "saves, slam.py:296-301); frames up to the "
+                             "checkpoint's last keyframe are skipped")
     args = parser.parse_args()
 
     setup_seed(43)
@@ -106,9 +111,23 @@ def main():
     slam = SLAMSystem(cfg, output=output,
                       only_tracking=cfg.get("only_tracking", False))
 
+    start_frame = 0
+    if args.resume and os.path.exists(args.resume):
+        state = slam.load_checkpoint(args.resume)
+        last_ts = float(state["timestamps"][-1]) if state["counter"] else -1.0
+        ts_all = (np.asarray(dataset.timestamps, np.float64)
+                  if dataset.timestamps is not None
+                  else np.arange(n_frames, dtype=np.float64))
+        start_frame = int((ts_all <= last_ts).sum())
+        slam.frontend.is_initialized = state["counter"] >= \
+            cfg["tracking"]["warmup"]
+        slam.frontend.t1 = state["counter"]
+        print(f"resumed {state['counter']} keyframes from {args.resume}; "
+              f"continuing at frame {start_frame}")
+
     use_depth = cfg["mode"] == "rgbd"
     t0 = time.time()
-    for i in range(n_frames):
+    for i in range(start_frame, n_frames):
         idx, image, depth, intrinsics, gt_pose = dataset[i]
         ts = float(dataset.timestamps[i]) if dataset.timestamps is not None \
             else float(idx)

@@ -16,10 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=4000)
-    ap.add_argument("--ht", type=int, default=64)
-    ap.add_argument("--wd", type=int, default=96)
-    ap.add_argument("--scenes", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=10000)
+    ap.add_argument("--ht", type=int, default=128)
+    ap.add_argument("--wd", type=int, default=192)
+    ap.add_argument("--scenes", type=int, default=384)
     ap.add_argument("--lr", type=float, default=2.5e-4)
     ap.add_argument("--out", default="checkpoints/droid_synthetic.ckpt")
     ap.add_argument("--log", default="")

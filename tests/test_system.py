@@ -88,10 +88,25 @@ def test_checkpoint_roundtrip(params, tmp_path):
 
     slam2 = SLAMSystem(cfg, params=params, output=str(tmp_path))
     slam2.load_checkpoint(p)
-    assert slam2.video.counter == slam.video.counter
+    n0 = slam2.video.counter
+    assert n0 == slam.video.counter
     np.testing.assert_allclose(
-        np.asarray(slam2.video.poses[:slam2.video.counter]),
-        np.asarray(slam.video.poses[:slam.video.counter]), atol=1e-6)
+        np.asarray(slam2.video.poses[:n0]),
+        np.asarray(slam.video.poses[:n0]), atol=1e-6)
+    # full checkpoint restores the factor graph's inputs (features,
+    # context, intrinsics) — tracking must be able to CONTINUE
+    np.testing.assert_allclose(np.asarray(slam2.video.intrinsics),
+                               np.asarray(slam.video.intrinsics), atol=0)
+    assert float(jnp.abs(slam2.video.fmaps[:n0].astype(jnp.float32)).sum()) > 0
+    slam2.frontend.is_initialized = n0 >= cfg["tracking"]["warmup"]
+    slam2.frontend.t1 = n0
+    for i in range(6, 10):
+        idx, img, depth, intr, gt = ds[i]
+        slam2.track(float(i), img, depth, intr, gt)
+    slam2.flush()
+    assert slam2.video.counter > n0
+    assert np.isfinite(
+        np.asarray(slam2.video.poses[:slam2.video.counter])).all()
 
 
 def test_stereo_machinery(params):
