@@ -53,8 +53,12 @@ class TrainConfig:
     # net with multi-pixel flows at zero-flow init; a perturbed-GT-only
     # init taught the round-2 net only sub-pixel residuals and it
     # saturated at runtime). gt_perturb: small perturbations around GT
-    # (the near-converged regime) — mixed per-step below.
+    # (the near-converged regime) — mixed per-step below with
+    # ident_prob (a 50/50 mix over-weighted large flows and the net
+    # over-predicted at refinement states; the runtime spends most
+    # iterations near convergence).
     init_mode: str = "mixed"
+    ident_prob: float = 0.25
     gamma: float = 0.9
     lr: float = 2.5e-4
     weight_decay: float = 1e-5
@@ -191,7 +195,7 @@ def make_train_step(cfg: TrainConfig, model: DroidNet, tx):
         xi = xi.at[0].set(0.0)
         poses_pert = lie.compose(jax.vmap(lie.exp)(xi), poses_gt)
         poses_ident = jnp.broadcast_to(poses_gt[0], poses_gt.shape)
-        use_ident = (jax.random.uniform(k3, ()) < 0.5) \
+        use_ident = (jax.random.uniform(k3, ()) < cfg.ident_prob) \
             if cfg.init_mode == "mixed" else \
             jnp.asarray(cfg.init_mode == "identity")
         poses = jnp.where(use_ident, poses_ident, poses_pert)
