@@ -96,7 +96,7 @@ def main():
     if args.viz:
         cfg["viz"] = True
 
-    output = cfg["data"]["output"] or "output/run"
+    output = cfg["data"]["output"] or "/tmp/goslam_runs/run"
     os.makedirs(output, exist_ok=True)
     backup_source(output)
     save_config(cfg, os.path.join(output, "config.yaml"))
