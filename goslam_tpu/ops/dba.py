@@ -278,15 +278,44 @@ def _inv6(blocks):
     return jnp.where(ok, inv, eye)
 
 
+def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
+       valid, t0, t1, iters: int = 2, lm: float = 1e-4, ep: float = 0.1,
+       motion_only: bool = False, max_deg: int = 24, solver: str = "chol",
+       cg_iters: int = 64, fused: bool | None = None):
+    """Dense bundle adjustment (see _ba_impl for the math).
+
+    Unjitted shell: when the edge arrays are concrete (caller outside
+    jit), enforce the degree-capacity precondition HERE — inside the jit
+    everything is a tracer and a host check can never fire (callers
+    inside jit are covered by the NaN-poison on table overflow).
+    """
+    if not isinstance(ii, jax.core.Tracer) \
+            and not isinstance(valid, jax.core.Tracer):
+        ii_c, v_c = np.asarray(ii), np.asarray(valid)
+        if v_c.any():
+            deg = int(np.bincount(ii_c[v_c], minlength=1).max())
+            if deg > max_deg:
+                raise ValueError(
+                    f"per-source edge degree {deg} exceeds the table "
+                    f"capacity max_deg={max_deg}; bucket max_deg from "
+                    f"the true degree (utils.shapes.bucket) before "
+                    f"calling ba()")
+    return _ba_impl(poses, disps, intrinsics, disps_sens, target, weight,
+                    eta, ii, jj, valid, t0, t1, iters=iters, lm=lm, ep=ep,
+                    motion_only=motion_only, max_deg=max_deg,
+                    solver=solver, cg_iters=cg_iters, fused=fused)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("iters", "motion_only", "max_deg", "solver",
                      "cg_iters", "fused"),
 )
-def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
-       valid, t0, t1, iters: int = 2, lm: float = 1e-4, ep: float = 0.1,
-       motion_only: bool = False, max_deg: int = 24, solver: str = "chol",
-       cg_iters: int = 64, fused: bool | None = None):
+def _ba_impl(poses, disps, intrinsics, disps_sens, target, weight, eta,
+             ii, jj, valid, t0, t1, iters: int = 2, lm: float = 1e-4,
+             ep: float = 0.1, motion_only: bool = False, max_deg: int = 24,
+             solver: str = "chol", cg_iters: int = 64,
+             fused: bool | None = None):
     """Run `iters` Gauss-Newton steps of dense bundle adjustment.
 
     All arrays are *local-window* views with static shapes; `t0`/`t1` are
@@ -317,25 +346,12 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
     plan = None
     if (fused and solver == "cg" and not motion_only and P % 8 == 0
             and ((E + 7) // 8) * 8 >= 8 * max_deg + 8):
-        # slab-capacity precondition: every source frame must own at most
-        # max_deg valid edges, or the block slab silently drops the tail
-        # from the operator while rhs/preconditioner keep it (an
-        # inconsistent system). Runtime callers bucket max_deg from the
-        # true degree; for concrete inputs enforce it here, for traced
-        # inputs it is the caller's contract.
-        deg_ok = True
-        if not isinstance(ii, jax.core.Tracer):
-            ii_c, v_c = np.asarray(ii), np.asarray(valid)
-            if v_c.any():
-                deg_ok = int(np.bincount(
-                    ii_c[v_c], minlength=1).max()) <= max_deg
-        if deg_ok:
-            from .pallas_kernels import schur_matvec_plan
-            order, cstart, onehot, jj_pad = schur_matvec_plan(
-                ii, jj, valid, P, max_deg, fb=8)
-            ii, jj, valid = ii[order], jj[order], valid[order]
-            target, weight = target[order], weight[order]
-            plan = (cstart, onehot, jj_pad)
+        from .pallas_kernels import schur_matvec_plan
+        order, cstart, onehot, jj_pad = schur_matvec_plan(
+            ii, jj, valid, P, max_deg, fb=8)
+        ii, jj, valid = ii[order], jj[order], valid[order]
+        target, weight = target[order], weight[order]
+        plan = (cstart, onehot, jj_pad)
 
     P6 = P * 6
     frames = jnp.arange(P)
@@ -344,7 +360,7 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
         jnp.zeros(P, bool).at[ii].max(valid, mode="drop"))        # [P]
     pm_f = pose_mask.astype(jnp.float32)
 
-    table, _ = _source_table(ii, valid, P, max_deg)
+    table, overflow = _source_table(ii, valid, P, max_deg)
     tbl_ok = table >= 0
     tbl_idx = jnp.maximum(table, 0)
 
@@ -552,4 +568,12 @@ def ba(poses, disps, intrinsics, disps_sens, target, weight, eta, ii, jj,
 
     poses, disps, _ = jax.lax.fori_loop(
         0, iters, step, (poses, disps, jnp.zeros((P, 6), jnp.float32)))
+    # Traced callers cannot be degree-checked on the host; an overflow of
+    # the degree-capped table silently drops edges and yields a WRONG
+    # optimizer — poison the outputs so every finiteness gate (tests,
+    # bench, _safe subsystem isolation) trips instead. Never fires on the
+    # shipped call sites (they bucket max_deg from the true degree).
+    bad = (overflow > 0)
+    poses = jnp.where(bad, jnp.nan, poses)
+    disps = jnp.where(bad, jnp.nan, disps)
     return poses, disps

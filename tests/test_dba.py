@@ -292,3 +292,49 @@ def test_cg_budget_quality_at_backend_scale(rng):
     e0 = pose_err(poses0, poses_gt)
     assert e_ch < 0.25 * e0
     assert e_cg < 1.1 * e_ch + 1e-6, (e_cg, e_ch)
+
+
+def test_degree_overflow_fails_loudly(rng):
+    """A per-source degree above max_deg would silently drop edges from
+    the degree-capped source table (depth-coupling cross terms in every
+    solver path) — concrete inputs must raise instead (VERDICT r2 #6)."""
+    gt_poses, gt_disps = make_gt(rng)
+    # all edges share source frame 0 -> degree 5 > max_deg=4
+    ii = jnp.asarray(np.zeros(5, np.int32))
+    jj = jnp.asarray(np.array([1, 2, 3, 1, 2], np.int32))
+    E = ii.shape[0]
+    target, _ = projective.transform(gt_poses, gt_disps, INTR, ii, jj)
+    weight = jnp.ones((E, HT, WD, 2), jnp.float32)
+    eta = jnp.full((P, HT, WD), 1e-5, jnp.float32)
+    with pytest.raises(ValueError, match="degree"):
+        dba.ba(gt_poses, gt_disps, INTR, jnp.zeros_like(gt_disps),
+               target, weight, eta, ii, jj, jnp.ones(E, bool),
+               t0=1, t1=P, iters=1, max_deg=4)
+
+
+def test_degree_overflow_traced_poisons_output(rng):
+    """With traced ii the host check cannot run; the overflow must poison
+    the outputs (NaN) so finiteness gates trip instead of silently
+    optimizing an inconsistent system."""
+    import jax
+    gt_poses, gt_disps = make_gt(rng)
+    ii = jnp.asarray(np.zeros(5, np.int32))
+    jj = jnp.asarray(np.array([1, 2, 3, 1, 2], np.int32))
+    E = ii.shape[0]
+    target, _ = projective.transform(gt_poses, gt_disps, INTR, ii, jj)
+    weight = jnp.ones((E, HT, WD, 2), jnp.float32)
+    eta = jnp.full((P, HT, WD), 1e-5, jnp.float32)
+
+    @jax.jit
+    def run(ii, jj):
+        return dba.ba(gt_poses, gt_disps, INTR, jnp.zeros_like(gt_disps),
+                      target, weight, eta, ii, jj, jnp.ones(E, bool),
+                      t0=1, t1=P, iters=1, max_deg=4)
+
+    poses, disps = run(ii, jj)
+    assert not np.isfinite(np.asarray(poses)).all()
+    assert not np.isfinite(np.asarray(disps)).all()
+    # same shapes under capacity: clean output
+    ok_jj = jnp.asarray(np.array([1, 2, 3, 4, 5], np.int32))
+    p2, d2 = run(jnp.asarray(np.array([0, 0, 0, 0, 1], np.int32)), ok_jj)
+    assert np.isfinite(np.asarray(p2)).all()
