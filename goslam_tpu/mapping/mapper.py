@@ -26,6 +26,58 @@ from .instant_neus import InstantNeuS, compute_sdf_losses
 from .renderer import build_ray_dirs, render_rays
 
 
+@functools.partial(jax.jit, static_argnames=("n_per", "scale"))
+def _sample_rays_kernel(key, frames, images, disps_f, masks, poses_f,
+                        pose_comp, intr8, n_per: int, scale: int):
+    """Device-side masked ray sampling over a window of keyframes — ONE
+    dispatch for the whole window, no host mask downloads or host RNG
+    (replaces the reference's per-frame torch sampling, mapping.py:226-235,
+    and the round-2 host loop that paid a tunnel round trip per frame).
+
+    frames: [F] int32 keyframe ids, -1 = padding. Per frame, n_per pixels
+    are drawn uniformly WITHOUT replacement from the multiview mask via
+    top-k over per-pixel uniform keys; when a frame has fewer masked
+    pixels than n_per (or is padding) the excess rays carry gt_depth 0 —
+    invalid for every valid-normalized loss term, the same convention as
+    shard_rays padding.
+
+    Returns flat (rays_o [F*n_per,3], rays_d, gt_color, gt_depth).
+    """
+    F = frames.shape[0]
+    ok_f = frames >= 0
+    fi = jnp.where(ok_f, frames, 0)
+    H, W = masks.shape[-2:]
+
+    m = masks[fi] > 0                                        # [F, H, W]
+    keys = jax.random.uniform(key, (F, H, W))
+    score = jnp.where(m, keys, -1.0).reshape(F, H * W)
+    top, idx = jax.lax.top_k(score, n_per)                   # [F, n_per]
+    picked = top >= 0.0
+    ys = idx // W
+    xs = idx % W
+
+    fx, fy, cx, cy = (intr8[0] * scale, intr8[1] * scale,
+                      intr8[2] * scale, intr8[3] * scale)
+    xf = xs.astype(jnp.float32)
+    yf = ys.astype(jnp.float32)
+    dirs = jnp.stack([(xf - cx) / fx, (yf - cy) / fy,
+                      jnp.ones_like(xf)], axis=-1)           # [F, n_per, 3]
+
+    c2w = lie.matrix(lie.compose(pose_comp[None], lie.inv(poses_f[fi])))
+    rays_d = jnp.einsum("fab,fpb->fpa", c2w[:, :3, :3], dirs)
+    rays_o = jnp.broadcast_to(c2w[:, None, :3, 3], rays_d.shape)
+
+    ar = jnp.arange(F)[:, None]
+    gt_color = images[fi][ar, ys, xs]                        # [F, n_per, 3]
+    depth = 1.0 / (disps_f[fi] + 1e-7)
+    gt_depth = depth[ar, ys, xs]
+    valid = picked & ok_f[:, None]
+    gt_depth = jnp.where(valid, gt_depth, 0.0)
+
+    return (rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
+            gt_color.reshape(-1, 3), gt_depth.reshape(-1))
+
+
 def make_optimizer(net_lr=1e-3, grid_lr=1e-2, clip=35.0):
     """AdamW, two lr groups: hash table at grid_lr, rest at net_lr
     (mapping.py:55-58), with global-norm clipping (mapping.py:135)."""
@@ -49,8 +101,13 @@ def make_optimizer(net_lr=1e-3, grid_lr=1e-2, clip=35.0):
 
 
 class Mapper:
-    def __init__(self, video, cfg: dict, params=None, seed: int = 0):
+    def __init__(self, video, cfg: dict, params=None, seed: int = 0,
+                 mesh=None):
         m = cfg["mapping"]
+        # multi-device mesh: training steps shard the ray batch over it
+        # (parallel/sharded_mapping.py), params/optimizer replicated
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
         self.video = video
         self.cfg = cfg
         self.w_color = m["w_color_loss"]
@@ -102,6 +159,14 @@ class Mapper:
 
         self._train_step = self._build_train_step()
         self._train_step_ba = self._build_train_step_ba()
+        if self.mesh is not None:
+            from ..parallel.sharded_mapping import (
+                make_sharded_map_step_from_cfg)
+            # ray-sharded step, bit-comparable loss (global psum
+            # normalizers); the camera-refinement (BA) step stays
+            # single-device — its per-frame pose variables are tiny
+            self._train_step_sharded = make_sharded_map_step_from_cfg(
+                self.mesh, self)
 
     # ------------------------------------------------------------------
     def _build_train_step(self):
@@ -285,34 +350,26 @@ class Mapper:
 
     # ------------------------------------------------------------------
     def _sample_rays(self, frames: list, n_per_frame: int):
-        """Masked pixel sampling over the given keyframes (host RNG +
-        device gathers); returns stacked ray batch arrays."""
-        video = self.video
-        H, W = video.ht, video.wd
-        fx, fy, cx, cy = np.asarray(video.intrinsics) * video.device_scale
-        dirs_cam = build_ray_dirs(H, W, fx, fy, cx, cy)
-
-        ro, rd, gc, gd = [], [], [], []
-        for f in frames:
-            image, depth, c2w, _, mask = video.get_mapping_item(
-                f, decay=self.decay)
-            m = np.array(mask) > 0
-            ys, xs = np.nonzero(m)
-            if len(ys) == 0:
-                continue
-            sel = self.np_rng.integers(0, len(ys), n_per_frame)
-            py = jnp.asarray(ys[sel])
-            px = jnp.asarray(xs[sel])
-            d = dirs_cam[py, px]
-            rdir = d @ c2w[:3, :3].T
-            ro.append(jnp.broadcast_to(c2w[:3, 3], rdir.shape))
-            rd.append(rdir)
-            gc.append(image[py, px])
-            gd.append(depth[py, px])
-        if not ro:
+        """Masked ray sampling over the given keyframes — one jitted
+        dispatch with device RNG (see _sample_rays_kernel); the whole
+        window's ray batch never touches the host."""
+        if not frames:
             return None
-        return (jnp.concatenate(ro), jnp.concatenate(rd),
-                jnp.concatenate(gc), jnp.concatenate(gd))
+        video = self.video
+        F = bucket(len(frames), (2, 4, 8, 16, 24, 32, 48, 64))
+        fr = np.full(F, -1, np.int32)
+        fr[:len(frames)] = frames
+        # keyframe access decays its update priority, once per access,
+        # duplicates included (DepthVideo.get_mapping_item semantics)
+        for f in frames:
+            video.update_priority[f] *= self.decay
+
+        self.key, k = jax.random.split(self.key)
+        return _sample_rays_kernel(
+            k, jnp.asarray(fr), video.images, video.disps_filtered,
+            video.mask_filtered, video.poses_filtered,
+            video.pose_compensate, video.intrinsics,
+            n_per=n_per_frame, scale=video.device_scale)
 
     def _optimize(self, batch, bound, realtime_bound, iters: int):
         rays_o, rays_d, gt_color, gt_depth = batch
@@ -327,11 +384,20 @@ class Mapper:
             gt_depth = jnp.concatenate(
                 [gt_depth, jnp.zeros(pad, gt_depth.dtype)])
 
+        if self.mesh is not None:
+            from ..parallel.sharded_mapping import shard_rays
+            rays_o, rays_d, gt_color, gt_depth = shard_rays(
+                int(self.mesh.devices.size), rays_o, rays_d, gt_color,
+                gt_depth)
+            step = self._train_step_sharded
+        else:
+            step = self._train_step
+
         metrics = None
         for _ in range(iters):
             self.global_step += 1
             self.key, k = jax.random.split(self.key)
-            self.params, self.opt_state, metrics = self._train_step(
+            self.params, self.opt_state, metrics = step(
                 self.params, self.opt_state, k, rays_o, rays_d, gt_color,
                 gt_depth, bound, realtime_bound)
         return metrics

@@ -93,9 +93,20 @@ class SLAMSystem:
                 params = init_params(ht=cam["H_out"], wd=cam["W_out"])
         self.params = params
 
+        # Multi-chip scale-out (SURVEY §2.8 target design): when more than
+        # one device is visible, global BA shards its edge work and the
+        # mapper its ray batches over this mesh (tracking's per-frame path
+        # stays single-device — it is latency-bound, not FLOP-bound).
+        self.mesh = None
+        devs = jax.devices()
+        if len(devs) > 1:
+            from jax.sharding import Mesh
+            self.mesh = Mesh(np.asarray(devs), ("edges",))
+
         self.motion_filter = MotionFilter(
             params, self.video, thresh=tr["motion_filter"]["thresh"])
-        self.backend = Backend(params, self.video, self.cfg)
+        self.backend = Backend(params, self.video, self.cfg,
+                               mesh=self.mesh)
         self.frontend = Frontend(params, self.video, self.cfg,
                                  loop_closing=self.backend)
         self.traj_filler = TrajectoryFiller(params, self.video,
@@ -105,7 +116,7 @@ class SLAMSystem:
             self.multiview_filter = MultiviewFilter(
                 self.video, self.cfg, warmup=tr["warmup"])
             from .mapping.mapper import Mapper
-            self.mapper = Mapper(self.video, self.cfg)
+            self.mapper = Mapper(self.video, self.cfg, mesh=self.mesh)
         else:
             self.multiview_filter = None
             self.mapper = None
@@ -154,8 +165,11 @@ class SLAMSystem:
         Frames are staged and shipped in batches; returns the list of
         admit decisions drained by this call (frames ~`pipeline_lag`
         back; empty while the pipeline is filling — a staging call can
-        drain zero or several frames).  Call flush() before reading
-        tracking state."""
+        drain zero or several frames).  NOTE: the return value is NOT
+        "was this frame admitted" — truth-testing it reports pipeline
+        fill level, not keyframe admission; use the drained decision
+        tuples (or flush() + video.counter) for admission.  Call flush()
+        before reading tracking state."""
         self.frame_count += 1
         self._staged.append((timestamp, np.asarray(image),
                              None if depth is None else np.asarray(depth),
@@ -472,13 +486,27 @@ class SLAMSystem:
         with open(path, "wb") as f:
             pickle.dump(state, f)
 
-    def load_checkpoint(self, path: str):
+    def load_checkpoint(self, path: str, resume_tracking: bool = True):
         """Restore a checkpoint; a full=True one restores every field the
         factor graph needs, after which tracking can continue (the motion
-        filter resumes against the last keyframe's features)."""
+        filter resumes against the last keyframe's features, and the
+        frontend's initialization state is restored here too).
+
+        With resume_tracking=True (the default), a checkpoint missing the
+        full fields (old format or save_checkpoint(full=False)) raises:
+        resuming from it would leave the motion filter unseeded and
+        force-admit the next frame as a fresh 'first' keyframe with
+        identity pose, silently corrupting the trajectory. Pass
+        resume_tracking=False to load poses/params only (eval use)."""
         with open(path, "rb") as f:
             state = pickle.load(f)
         n = state["counter"]
+        if resume_tracking and n and "fmaps" not in state:
+            raise ValueError(
+                f"checkpoint {path} lacks the full tracking fields "
+                f"(fmaps/nets/inps) needed to resume; re-save with "
+                f"save_checkpoint(full=True), or pass "
+                f"resume_tracking=False to load poses/params only")
         v = self.video
         v.counter = n
         v.poses = v.poses.at[:n].set(jnp.asarray(state["poses"]))
@@ -502,6 +530,13 @@ class SLAMSystem:
             self.motion_filter.net = v.nets[n - 1][None].astype(jnp.float32)
             self.motion_filter.inp = v.inps[n - 1][None].astype(jnp.float32)
             self.motion_filter._seen_first = True
+            # frontend resume state: a resumed counter is already past the
+            # warmup == counter equality that Frontend.__call__ keys
+            # initialization on, so restore it explicitly (otherwise new
+            # keyframes would never be optimized after --resume)
+            self.frontend.is_initialized = (
+                n >= self.cfg["tracking"]["warmup"])
+            self.frontend.t1 = n
         if state.get("mapping_params") is not None and self.mapper:
             self.mapper.params = jax.tree.map(
                 jnp.asarray, state["mapping_params"])

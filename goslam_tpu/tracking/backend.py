@@ -18,10 +18,12 @@ from .video import VideoBuffer
 
 
 class Backend:
-    def __init__(self, params, video: VideoBuffer, cfg: dict):
+    def __init__(self, params, video: VideoBuffer, cfg: dict, mesh=None):
         t = cfg["tracking"]
         self.params = params
         self.video = video
+        # multi-device mesh: global BA shards its edge work over it
+        self.mesh = mesh
         self.beta = t["beta"]
         self.upsample = t.get("upsample", False)
 
@@ -33,6 +35,10 @@ class Backend:
         self.backend_loop_thresh = b["loop_thresh"]
         self.backend_loop_radius = b["loop_radius"]
         self.backend_loop_nms = b["loop_nms"]
+        # observability: accepted loop-vote candidates (loop-closure
+        # proof in tests) — last proposal and cumulative
+        self.last_loop_accepts = 0
+        self.total_loop_accepts = 0
 
     # ------------------------------------------------------------------
     def _propose_edges(self, t_start, t_end, t_start_loop, radius, nms,
@@ -81,6 +87,8 @@ class Backend:
                                 sub.append((si, sj))
                 if votes > int(((2 * n_neigh + 1) ** 2) * 0.5):
                     es.extend(sub)
+                    self.last_loop_accepts += 1
+                    self.total_loop_accepts += 1
             else:
                 es.append((i, j))
                 es.append((j, i))
@@ -128,7 +136,8 @@ class Backend:
                        + (self.backend_radius + 2) * 2) * n
         graph = FactorGraph(self.video, self.params,
                             max_factors=max_factors, corr_impl="alt",
-                            upsample=self.upsample, inac_capacity=-1)
+                            upsample=self.upsample, inac_capacity=-1,
+                            mesh=self.mesh)
         n_edges = self.ba(t_start, t_end, steps, graph, self.backend_nms,
                           self.backend_radius, self.backend_thresh,
                           max_factors, motion_only=motion_only)
@@ -140,10 +149,12 @@ class Backend:
         (backend.py:141-163)."""
         max_factors = 8 * self.backend_loop_window
         t_start_loop = max(0, t_end - self.backend_loop_window)
+        self.last_loop_accepts = 0
 
         graph = FactorGraph(self.video, self.params,
                             max_factors=max_factors, corr_impl="alt",
-                            upsample=self.upsample, inac_capacity=-1)
+                            upsample=self.upsample, inac_capacity=-1,
+                            mesh=self.mesh)
         if local_graph is not None:
             # copy the frontend's live edges (targets/weights/hidden state)
             sel = np.where(local_graph.valid)[0]

@@ -39,12 +39,16 @@ MOTION_CLAMP = 64.0
 class FactorGraph:
     def __init__(self, video: VideoBuffer, params, max_factors: int = 96,
                  corr_impl: str = "volume", upsample: bool = False,
-                 inac_capacity: int = 0, chunk: int = 256):
+                 inac_capacity: int = 0, chunk: int = 256, mesh=None):
         self.video = video
         self.params = params
         self.max_factors = max_factors
         self.corr_impl = corr_impl
         self.upsample = upsample
+        # multi-device mesh: the low-memory path (global BA) shards its
+        # edge work over it (SURVEY §2.8 target design)
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
 
         cap = bucket(max_factors + 48)
         self.cap = cap
@@ -139,7 +143,8 @@ class FactorGraph:
 
     def _write_new_edges(self, ii, jj, slots):
         """Device writes for newly added edges, padded to a count bucket."""
-        K = bucket(int(ii.shape[0]), (1, 2, 4, 8, 16, 32, 64, 128, 256, 512))
+        K = bucket(int(ii.shape[0]), (1, 2, 4, 8, 16, 32, 64, 128, 256,
+                                      512, 1024, 2048, 4096, 8192, 16384))
         pad = K - int(ii.shape[0])
         if pad:
             ii = jnp.concatenate([ii, jnp.zeros(pad, ii.dtype)])
@@ -412,6 +417,11 @@ class FactorGraph:
         # solve dominates beyond a few hundred poses
         solver = "cg" if P >= 192 else "chol"
 
+        if self.mesh is not None and not motion_only:
+            self._lowmem_step_sharded(P, fmaps, base, t0, t1, iters, lm,
+                                      ep, max_deg, ii_r, jj_r)
+            return
+
         out = _lowmem_kernel(
             P, self.cap, self.chunk, nchunks, max_deg,
             self.params,
@@ -423,6 +433,42 @@ class FactorGraph:
             jnp.asarray(ii_r), jnp.asarray(jj_r),
             jnp.asarray(self.valid),
             base, t0, t1, iters, lm, ep, motion_only, solver=solver)
+        (self.video.poses, self.video.disps, self.video.damping,
+         self.net, self.target, self.weight) = out
+
+    def _lowmem_step_sharded(self, P, fmaps, base, t0, t1, iters, lm, ep,
+                             max_deg, ii_r, jj_r):
+        """Multi-device low-memory step: edges partitioned by source frame
+        over the mesh, alt-corr + GRU + DBA sharded over the edge dim
+        (SURVEY §2.8). Results match the single-device path (validated in
+        tests/test_parallel.py)."""
+        from ..parallel.sharded_ba import partition_edge_slots
+
+        # the shard body reprojects against the window slice with
+        # absolute frame indices — valid only for base == 0, which is
+        # what update_lowmem always uses
+        assert base == 0, "sharded lowmem path requires base == 0"
+        S = int(self.mesh.devices.size)
+        cap = self.cap
+        slot_idx = partition_edge_slots(self.ii, self.valid, P, S)
+        pad_ok = slot_idx < cap
+        sc = np.minimum(slot_idx, cap - 1)
+        ii_sh = np.where(pad_ok, self.ii[sc], 0).astype(np.int32)
+        jj_sh = np.where(pad_ok, self.jj[sc], 0).astype(np.int32)
+        ii_rsh = np.where(pad_ok, np.asarray(ii_r)[sc], 0).astype(np.int32)
+        jj_rsh = np.where(pad_ok, np.asarray(jj_r)[sc], 0).astype(np.int32)
+        ok_sh = pad_ok & self.valid[sc]
+
+        out = _lowmem_kernel_sharded(
+            P, self.chunk, max_deg, self.mesh,
+            self.params,
+            self.video.poses, self.video.disps, self.video.disps_sens,
+            self.video.damping, self.video.intrinsics, self.video.inps,
+            fmaps, self.net, self.target, self.weight,
+            jnp.asarray(ii_sh), jnp.asarray(jj_sh),
+            jnp.asarray(ii_rsh), jnp.asarray(jj_rsh),
+            jnp.asarray(ok_sh), jnp.asarray(slot_idx),
+            base, t0, t1, iters, lm, ep)
         (self.video.poses, self.video.disps, self.video.damping,
          self.net, self.target, self.weight) = out
 
@@ -568,15 +614,33 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, params,
     fpyr = corr.build_feature_pyramid(fmaps)
     update_op = UpdateModule(num_frames=P)
 
+    # pad the edge dim to nchunks*chunk: dynamic_slice CLAMPS out-of-range
+    # starts, so a final partial chunk would silently re-read earlier
+    # edges and misalign the concatenated results
+    cpad = nchunks * chunk - cap
+    if cpad:
+        pz = lambda a: jnp.concatenate(
+            [a, jnp.zeros((cpad,) + a.shape[1:], a.dtype)])
+        coords1_c, motion_c, net_c_in = pz(coords1), pz(motion), pz(net)
+        ii_sc, jj_sc = pz(ii_s), pz(jj_s)
+        ii_rsc, jj_rsc = pz(ii_rs), pz(jj_rs)
+        valid_c = pz(valid)
+    else:
+        coords1_c, motion_c, net_c_in = coords1, motion, net
+        ii_sc, jj_sc, ii_rsc, jj_rsc = ii_s, jj_s, ii_rs, jj_rs
+        valid_c = valid
+
     def do_chunk(c0):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0, chunk)
-        corr_feat = corr.alt_corr(fpyr, sl(coords1), sl(ii_rs), sl(jj_rs))
-        ii_loc = jnp.clip(sl(ii_s) - base, 0, P - 1)
+        corr_feat = corr.alt_corr(fpyr, sl(coords1_c), sl(ii_rsc),
+                                  sl(jj_rsc))
+        ii_loc = jnp.clip(sl(ii_sc) - base, 0, P - 1)
         net_c, delta_c, w_c, eta_c, _, has_edge_c = update_op.apply(
             {"params": params["update"]},
-            sl(net).astype(jnp.bfloat16), inps_v[sl(ii_s)],
-            corr_feat.astype(jnp.bfloat16), sl(motion).astype(jnp.bfloat16),
-            ii_loc, sl(valid))
+            sl(net_c_in).astype(jnp.bfloat16), inps_v[sl(ii_sc)],
+            corr_feat.astype(jnp.bfloat16),
+            sl(motion_c).astype(jnp.bfloat16),
+            ii_loc, sl(valid_c))
         return net_c, delta_c, w_c, eta_c, has_edge_c
 
     nets, deltas, ws, etas, hases = [], [], [], [], []
@@ -623,4 +687,152 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, params,
 
     poses = jax.lax.dynamic_update_slice(poses, poses_w, (base, 0))
     disps = jax.lax.dynamic_update_slice(disps, disps_w, (base, 0, 0))
+    return poses, disps, damping, net, target, weight
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "P", "chunk", "max_deg", "mesh", "iters"))
+def _lowmem_kernel_sharded(P, chunk, max_deg, mesh, params,
+                           poses, disps, disps_sens, damping, intrinsics,
+                           inps_v, fmaps, net, target, weight,
+                           ii_sh, jj_sh, ii_rsh, jj_rsh, ok_sh, slot_idx,
+                           base, t0, t1, iters, lm, ep):
+    """Sharded low-memory step (new capability vs the single-GPU
+    reference): edges live in [S, Es] shard blocks partitioned by source
+    frame; each device runs alt-corr + chunked GRU on its own edge block,
+    per-frame damping is combined with psum (each frame is owned by
+    exactly one shard), and the DBA normal equations are psum'd over ICI
+    with a replicated reduced solve (parallel/sharded_ba.ba_shard_gn)."""
+    from jax.sharding import PartitionSpec as PSpec
+
+    from ..parallel.sharded_ba import ba_shard_gn
+
+    h8, w8 = disps.shape[-2:]
+    S, Es = ii_sh.shape
+    axis = mesh.axis_names[0]
+    cap = net.shape[0]
+    nchunks = (Es + chunk - 1) // chunk
+    csize = min(chunk, Es)
+
+    poses_w0 = jax.lax.dynamic_slice(poses, (base, 0), (P, 7))
+    disps_w0 = jax.lax.dynamic_slice(disps, (base, 0, 0), (P, h8, w8))
+    sens_w = jax.lax.dynamic_slice(disps_sens, (base, 0, 0), (P, h8, w8))
+    damping_w0 = jax.lax.dynamic_slice(damping, (base, 0, 0), (P, h8, w8))
+
+    fpyr = corr.build_feature_pyramid(fmaps)
+    update_op = UpdateModule(num_frames=P)
+
+    # gather per-edge device state into shard-major layout [S*Es, ...]
+    sflat = slot_idx.reshape(-1)
+    sclip = jnp.minimum(sflat, cap - 1)
+    net_g = net[sclip]
+    tgt_g = target[sclip]
+    w_g = weight[sclip]
+
+    sharded = PSpec(axis)
+    repl = PSpec()
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded, sharded, sharded,
+                  sharded, repl, repl, repl, repl, repl, repl, repl),
+        out_specs=(repl, repl, repl, sharded, sharded, sharded),
+    )
+    def run(net_e, tgt_e, w_e, ii_e, jj_e, ii_re, jj_re,
+            poses_w, disps_w, sens_w, damping_w, intr, inps_rep, fpyr_rep):
+        # block shapes: edge-dim args arrive as this shard's [Es, ...]
+        ok_e = ii_e >= 0
+        ii_l = jnp.where(ok_e, ii_e, 0)
+        jj_l = jnp.where(ok_e, jj_e, 0)
+        ii_rl = jnp.where(ok_e, ii_re, 0)
+        jj_rl = jnp.where(ok_e, jj_re, 0)
+
+        coords1, _ = projective.transform(poses_w, disps_w, intr,
+                                          ii_l, jj_l)
+        motion = _motion_features(coords1, tgt_e, h8, w8)
+
+        # pad to nchunks*csize (dynamic_slice clamps OOB starts — see
+        # the single-device kernel)
+        cpad = nchunks * csize - Es
+        if cpad:
+            pz = lambda a: jnp.concatenate(
+                [a, jnp.zeros((cpad,) + a.shape[1:], a.dtype)])
+            coords1_c, motion_c, net_in = pz(coords1), pz(motion), pz(net_e)
+            ii_lc, ii_rlc, jj_rlc = pz(ii_l), pz(ii_rl), pz(jj_rl)
+            ok_c = pz(ok_e)
+        else:
+            coords1_c, motion_c, net_in = coords1, motion, net_e
+            ii_lc, ii_rlc, jj_rlc = ii_l, ii_rl, jj_rl
+            ok_c = ok_e
+
+        def do_chunk(c0):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0, csize)
+            corr_feat = corr.alt_corr(fpyr_rep, sl(coords1_c), sl(ii_rlc),
+                                      sl(jj_rlc))
+            ii_loc = jnp.clip(sl(ii_lc), 0, P - 1)
+            return update_op.apply(
+                {"params": params["update"]},
+                sl(net_in).astype(jnp.bfloat16), inps_rep[sl(ii_lc)],
+                corr_feat.astype(jnp.bfloat16),
+                sl(motion_c).astype(jnp.bfloat16),
+                ii_loc, sl(ok_c))
+
+        nets, deltas, ws, etas, hases = [], [], [], [], []
+        for c in range(nchunks):
+            net_c, delta_c, w_c, eta_c, _, has_c = do_chunk(c * csize)
+            nets.append(net_c)
+            deltas.append(delta_c)
+            ws.append(w_c)
+            etas.append(eta_c)
+            hases.append(has_c)
+
+        net_new = jnp.concatenate(nets)[:Es]
+        delta = jnp.concatenate(deltas)[:Es]
+        w_new = jnp.concatenate(ws)[:Es]
+
+        # per-frame damping: sum over this shard's chunks, then combine
+        # across shards — every frame's edges are shard-local, so psum
+        # recovers the global per-frame chunk sums
+        eta_all = jnp.stack(etas)
+        has_all = jnp.stack(hases).astype(jnp.float32)
+        eta_sum = jnp.einsum("cphw,cp->phw", eta_all.astype(jnp.float32),
+                             has_all)
+        has_any = has_all.sum(0)
+        eta_sum = jax.lax.psum(eta_sum, axis)
+        has_any = jax.lax.psum(has_any, axis)
+        eta_mean = eta_sum / jnp.maximum(has_any, 1.0)[:, None, None]
+        damping_new = jnp.where((has_any > 0)[:, None, None], eta_mean,
+                                damping_w)
+
+        vmask = ok_e[:, None, None, None]
+        net_out = jnp.where(vmask, net_new, net_e)
+        tgt_out = jnp.where(vmask, coords1 + delta.astype(jnp.float32),
+                            tgt_e)
+        w_out = jnp.where(vmask, w_new.astype(jnp.float32), w_e)
+
+        eta_ba = 0.2 * damping_new + EPS_DAMP
+        ii_ba = jnp.clip(ii_l - base, 0, P - 1)
+        jj_ba = jnp.clip(jj_l - base, 0, P - 1)
+        poses_o, disps_o = ba_shard_gn(
+            axis, poses_w, disps_w, sens_w, tgt_out, w_out, eta_ba,
+            ii_ba, jj_ba, ok_e, intr, t0 - base, t1 - base, iters,
+            lm, ep, max_deg)
+        return poses_o, disps_o, damping_new, net_out, tgt_out, w_out
+
+    # encode padding in ii (>= 0 test inside the shard body)
+    ii_tag = jnp.where(ok_sh, ii_sh, -1).reshape(-1)
+    out = run(net_g, tgt_g, w_g, ii_tag, jj_sh.reshape(-1),
+              ii_rsh.reshape(-1), jj_rsh.reshape(-1),
+              poses_w0, disps_w0, sens_w, damping_w0, intrinsics,
+              inps_v, fpyr)
+    poses_w, disps_w, damping_w, net_o, tgt_o, w_o = out
+
+    poses = jax.lax.dynamic_update_slice(poses, poses_w, (base, 0))
+    disps = jax.lax.dynamic_update_slice(disps, disps_w, (base, 0, 0))
+    damping = jax.lax.dynamic_update_slice(damping, damping_w,
+                                           (base, 0, 0))
+    # scatter shard results back to their slots (OOB padding dropped)
+    net = net.at[sflat].set(net_o.astype(net.dtype), mode="drop")
+    target = target.at[sflat].set(tgt_o, mode="drop")
+    weight = weight.at[sflat].set(w_o, mode="drop")
     return poses, disps, damping, net, target, weight

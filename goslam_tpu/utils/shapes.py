@@ -9,7 +9,8 @@ from __future__ import annotations
 from typing import Sequence
 
 DEFAULT_BUCKETS = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512,
-                   768, 1024, 1536, 2048, 3072, 4096)
+                   768, 1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288,
+                   16384, 24576, 32768)
 
 
 def bucket(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
