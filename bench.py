@@ -1,21 +1,25 @@
 """Headline benchmarks against BASELINE.md's north stars.
 
-1. Online full bundle adjustment: the reference's headline scaling claim
-   is online full BA with loop closure over thousands of keyframes
-   (README.md:240, scene0054_00 with 6,629 frames); BASELINE.md sets the
-   target "2,000 keyframes in < 1 s on v5e".  This runs the complete DBA
-   pipeline over 2,048 keyframes at the reference's 1/8-res ScanNet
-   geometry (30x40) with backend edge density ((radius+2)*2 edges/frame,
-   backend.py:131), 6 GN steps x 2 inner iterations per trigger
-   (slam.py:85) — with EXACTLY the solver configuration the runtime's
-   update_lowmem selects at this scale (factor_graph.py: CG for P >= 192,
-   Pallas fused edge build on TPU).
+1. END-TO-END full-BA trigger (headline): `Backend.dense_ba(0, 2048)` —
+   the thing slam.py:229-241 actually runs per optimizing-process
+   iteration: host edge proposal (n^2 flow-distance matrix + greedy NMS,
+   backend.py:25-99) + 6 steps of (alt-corr lookup + chunked ConvGRU +
+   full DBA) over ~12k edges at the reference's 1/8-res ScanNet geometry
+   (30x40), on a populated 2,048-keyframe VideoBuffer.  BASELINE.md sets
+   "2,000 keyframes in < 1 s on v5e" as the target.
 
-2. Tracked FPS: motion filter + frontend update over synthetic frames at
+2. Solver-only trigger (secondary): 12 GN iterations of dba.ba at the
+   same scale — the round-2 headline, kept for continuity.
+
+3. Tracked FPS: motion filter + frontend update over synthetic frames at
    ScanNet geometry (BASELINE.md: >= 30 FPS target).
 
-Prints ONE JSON line (full-BA trigger as the headline metric; tracked FPS
-attached as extra keys).
+4. Render throughput: rays/sec of one jitted mapping train step at the
+   reference's load (4,400 rays x (24+48) samples, go_slam.yaml:19-22,
+   93-94) — the BASELINE.json metric that round 2 never measured.
+
+Prints ONE JSON line (end-to-end trigger as the headline metric; the
+rest attached as extra keys).
 """
 import json
 import sys
@@ -101,6 +105,107 @@ def bench_full_ba():
     return P, E, float(np.median(times))
 
 
+def bench_full_trigger(P: int = 2048, ht: int = 30, wd: int = 40,
+                       steps: int = 6):
+    """End-to-end Backend.dense_ba over a populated VideoBuffer."""
+    import jax
+    import jax.numpy as jnp
+    from goslam_tpu.config import default_config
+    from goslam_tpu.ops import lie
+    from goslam_tpu.system import init_params
+    from goslam_tpu.tracking.backend import Backend
+    from goslam_tpu.tracking.video import VideoBuffer
+
+    rng = np.random.default_rng(0)
+    video = VideoBuffer(buffer=P, ht=ht * 8, wd=wd * 8)
+    # the trigger never touches the full-res fields (images, depths_gt,
+    # disps_up, filtered outputs) — drop them so the 2048-keyframe state
+    # plus the ~12k-edge graph fits HBM alongside the GRU transients
+    for name in ("images", "depths_gt", "disps_up", "disps_filtered",
+                 "mask_filtered"):
+        setattr(video, name, jnp.zeros((1,), jnp.float32))
+
+    xi = np.cumsum(0.004 * rng.standard_normal((P, 6)).astype(np.float32),
+                   axis=0)
+    video.poses = jax.vmap(lie.exp)(jnp.asarray(xi))
+    video.disps = jnp.asarray(
+        0.4 + 0.2 * rng.random((P, ht, wd)).astype(np.float32))
+    video.intrinsics = jnp.asarray([36.0, 36.0, wd / 2, ht / 2],
+                                   jnp.float32)
+    video.fmaps = jnp.asarray(
+        rng.standard_normal((P, 1, ht, wd, 128)).astype(np.float32) * 0.5
+    ).astype(jnp.bfloat16)
+    video.nets = jnp.asarray(
+        rng.standard_normal((P, ht, wd, 128)).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    video.inps = jnp.asarray(
+        rng.standard_normal((P, ht, wd, 128)).astype(np.float32) * 0.1
+    ).astype(jnp.bfloat16)
+    video.counter = P
+
+    params = init_params(ht=ht * 8, wd=wd * 8)
+    cfg = default_config()
+    backend = Backend(params, video, cfg)
+
+    checksum = jax.jit(lambda p, d: p.sum() + d.astype(jnp.float32).sum())
+
+    def trigger():
+        n, edges = backend.dense_ba(0, P, steps=steps)
+        chk = float(checksum(video.poses, video.disps))
+        assert np.isfinite(chk), "dense_ba produced non-finite state"
+        return edges
+
+    edges = trigger()          # compile + warmup
+    t0 = time.time()
+    trigger()
+    dt1 = time.time() - t0     # steady state
+    t0 = time.time()
+    trigger()
+    dt2 = time.time() - t0
+    return edges, min(dt1, dt2)
+
+
+def bench_render_rays(n_iters: int = 20):
+    """rays/sec of one jitted mapping train step at the reference's load
+    (pixels 4400, N_samples 24 + N_surface 48)."""
+    import jax
+    import jax.numpy as jnp
+    from goslam_tpu.config import default_config
+    from goslam_tpu.mapping.mapper import Mapper
+    from goslam_tpu.tracking.video import VideoBuffer
+
+    rng = np.random.default_rng(0)
+    cfg = default_config()   # pixels 4400, N_samples 24, N_surface 48
+    R = cfg["mapping"]["pixels"]
+    mapper = Mapper(VideoBuffer(buffer=4, ht=48, wd=64), cfg)
+
+    ro = jnp.asarray(0.1 * rng.standard_normal((R, 3)), jnp.float32)
+    rd = jnp.asarray(rng.standard_normal((R, 3)), jnp.float32)
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    gc = jnp.asarray(rng.random((R, 3)), jnp.float32)
+    gd = jnp.asarray(0.5 + rng.random((R,)), jnp.float32)
+    bound = jnp.asarray([[-3, 3], [-3, 3], [-3, 3]], jnp.float32)
+
+    params, opt_state = mapper.params, mapper.opt_state
+    key = jax.random.PRNGKey(0)
+
+    def run(k):
+        nonlocal params, opt_state
+        for i in range(k):
+            params, opt_state, metrics = mapper._train_step(
+                params, opt_state, jax.random.fold_in(key, i),
+                ro, rd, gc, gd, bound, bound)
+        jax.block_until_ready(params)
+        return metrics
+
+    m = run(2)                 # compile + warmup
+    assert np.isfinite(float(m["total"]))
+    t0 = time.time()
+    run(n_iters)
+    dt = time.time() - t0
+    return R * n_iters / dt
+
+
 def bench_tracked_fps(n_frames: int = 120, warmup: int = 24):
     """Per-frame tracking throughput: motion filter + frontend over
     synthetic frames at ScanNet geometry (240x320), mapping off."""
@@ -146,7 +251,21 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    P, E, secs = bench_full_ba()
+    edges_e2e, secs_e2e = bench_full_trigger()
+
+    try:
+        P, E, secs_solver = bench_full_ba()
+    except Exception as e:  # noqa: BLE001 — secondary metric
+        print(f"WARN solver-only bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        P, E, secs_solver = 2048, 0, None
+
+    try:
+        rays = bench_render_rays()
+    except Exception as e:  # noqa: BLE001 — auxiliary
+        print(f"WARN render-rays bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        rays = None
 
     try:
         # two passes: the first absorbs jit compiles + tunnel warmup, the
@@ -160,11 +279,15 @@ def main():
 
     baseline = 1.0  # BASELINE.md: 2k keyframes < 1 s per trigger
     out = {
-        "metric": f"full_BA_trigger_seconds_{P}kf_{E}edges",
-        "value": round(secs, 4),
+        "metric": f"full_BA_trigger_e2e_seconds_2048kf_{edges_e2e}edges",
+        "value": round(secs_e2e, 4),
         "unit": "s",
-        "vs_baseline": round(baseline / secs, 3),
+        "vs_baseline": round(baseline / secs_e2e, 3),
     }
+    if secs_solver is not None:
+        out["solver_only_seconds"] = round(secs_solver, 4)
+    if rays is not None:
+        out["render_rays_per_sec"] = round(rays, 1)
     if fps is not None:
         out["tracked_fps"] = round(fps, 2)
         out["tracked_fps_vs_target30"] = round(fps / 30.0, 3)

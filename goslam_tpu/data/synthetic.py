@@ -37,13 +37,16 @@ class Synthetic(BaseDataset):
         super().__init__(cfg, args, device)
         self.n_frames = cfg["data"].get("n_frames", 60)
         self.half = cfg["data"].get("room_half_size", 3.0)
+        # fraction of a full orbit covered by the trajectory; 1.0 returns
+        # the camera to its start pose (loop-closure scenarios)
+        self.orbit = cfg["data"].get("orbit_fraction", 0.5)
         self.color_paths = [None] * self.n_frames   # len() support
         self.timestamps = np.arange(self.n_frames, dtype=np.float64)
 
         # circular path with small vertical bob, looking outward
         self.poses = []
         for k in range(self.n_frames):
-            a = 2 * np.pi * k / self.n_frames * 0.5
+            a = 2 * np.pi * k / self.n_frames * self.orbit
             c2w = np.eye(4, dtype=np.float32)
             # yaw rotation
             c2w[:3, :3] = np.asarray([

@@ -81,6 +81,23 @@ def _distance_pairs_oneway(poses, disps, intrinsics, ii, jj, beta):
     return projective.frame_distance(poses, disps, intrinsics, ii, jj, beta)
 
 
+@functools.partial(jax.jit, static_argnames=("bidirectional",))
+def _distance_pairs_big(poses, disps, intrinsics, ii, jj, beta,
+                        bidirectional=True):
+    """Huge pair sets (full n x n proposal at thousands of keyframes):
+    ii/jj arrive as [C, chunk] and a device-side lax.map walks the chunks
+    inside ONE jitted program — no per-chunk dispatch (tunnel) cost and
+    bounded transient memory."""
+    def one(e):
+        i, j = e
+        d = projective.frame_distance(poses, disps, intrinsics, i, j, beta)
+        if bidirectional:
+            d = 0.5 * (d + projective.frame_distance(
+                poses, disps, intrinsics, j, i, beta))
+        return d
+    return jax.lax.map(one, (ii, jj))
+
+
 @jax.jit
 def _normalize_kernel(poses, disps, count_mask):
     """Mean-disparity normalization over the first `n` frames
@@ -216,6 +233,22 @@ class VideoBuffer:
         ii = np.asarray(ii, np.int64).reshape(-1)
         jj = np.asarray(jj, np.int64).reshape(-1)
         n = len(ii)
+        if n > 4096:
+            # full-sequence proposals (backend at thousands of keyframes):
+            # chunk the pair set inside one jitted program
+            CH = 4096
+            C = (n + CH - 1) // CH
+            ii_p = np.zeros(C * CH, np.int64)
+            jj_p = np.zeros(C * CH, np.int64)
+            ii_p[:n] = ii
+            jj_p[:n] = jj
+            d = _distance_pairs_big(
+                self.poses, self.disps, self.intrinsics,
+                jnp.asarray(ii_p.reshape(C, CH)),
+                jnp.asarray(jj_p.reshape(C, CH)),
+                jnp.asarray(beta, jnp.float32),
+                bidirectional=bidirectional)
+            return np.array(d).reshape(-1)[:n]
         K = bucket(n)
         ii_p = np.zeros(K, np.int64)
         jj_p = np.zeros(K, np.int64)

@@ -186,10 +186,11 @@ def make_train_step(cfg: TrainConfig, model: DroidNet, tx):
                                             ii, jj)
 
         # init distribution (frame 0 fixed; BA optimizes [1, N)):
-        # half the steps start from identity motion (all frames at frame
-        # 0's pose — the runtime's zero-motion extrapolation / admission
-        # regime, multi-pixel flows), half from small GT perturbations
-        # (the near-converged refinement regime).
+        # ident_prob of the steps start from identity motion (all frames
+        # at frame 0's pose — the runtime's zero-motion extrapolation /
+        # admission regime, multi-pixel flows), the rest from small GT
+        # perturbations (the near-converged refinement regime that
+        # dominates the runtime's update distribution).
         k1, k2, k3 = jax.random.split(key, 3)
         xi = 0.03 * jax.random.normal(k1, (N, 6))
         xi = xi.at[0].set(0.0)

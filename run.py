@@ -119,9 +119,7 @@ def main():
                   if dataset.timestamps is not None
                   else np.arange(n_frames, dtype=np.float64))
         start_frame = int((ts_all <= last_ts).sum())
-        slam.frontend.is_initialized = state["counter"] >= \
-            cfg["tracking"]["warmup"]
-        slam.frontend.t1 = state["counter"]
+        # frontend + motion-filter resume state restored by load_checkpoint
         print(f"resumed {state['counter']} keyframes from {args.resume}; "
               f"continuing at frame {start_frame}")
 

@@ -98,8 +98,9 @@ def test_checkpoint_roundtrip(params, tmp_path):
     np.testing.assert_allclose(np.asarray(slam2.video.intrinsics),
                                np.asarray(slam.video.intrinsics), atol=0)
     assert float(jnp.abs(slam2.video.fmaps[:n0].astype(jnp.float32)).sum()) > 0
-    slam2.frontend.is_initialized = n0 >= cfg["tracking"]["warmup"]
-    slam2.frontend.t1 = n0
+    # frontend resume state is restored by load_checkpoint itself
+    assert slam2.frontend.is_initialized == (n0 >= cfg["tracking"]["warmup"])
+    assert slam2.frontend.t1 == n0
     for i in range(6, 10):
         idx, img, depth, intr, gt = ds[i]
         slam2.track(float(i), img, depth, intr, gt)
