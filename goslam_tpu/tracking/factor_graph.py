@@ -514,6 +514,56 @@ def _motion_features(coords1, target, h8, w8):
     return jnp.clip(motion, -MOTION_CLAMP, MOTION_CLAMP)
 
 
+def _gru_chunk_scan(update_op, params, fpyr, inps_v, coords1, motion,
+                    net_in, ii_s, ii_rs, jj_rs, valid, nchunks, chunk,
+                    P, base, h8, w8, vary_axis=None):
+    """Edge-chunked alt-corr + ConvGRU as ONE lax.scan over chunks.
+
+    A python-unrolled chunk loop at backend scale (48+ chunks of 256
+    edges over thousands of keyframes) explodes XLA compile time; scan
+    compiles the chunk body once. Damping (GraphAgg eta) accumulates in
+    the carry: sum of per-chunk eta over chunks that saw each frame,
+    plus the count — callers divide for the chunk-mean the reference's
+    keyframe-chunked GRU produces (factor_graph.py:279-303).
+
+    All edge arrays must be pre-padded to nchunks*chunk. Returns
+    (net_new, delta, w_new) at [nchunks*chunk, ...] plus (eta_sum
+    [P,h8,w8], has_any [P])."""
+    resh = lambda a: a.reshape((nchunks, chunk) + a.shape[1:])
+
+    def body(carry, ch):
+        coords_ch, motion_ch, net_ch, ii_ch, iir_ch, jjr_ch, ok_ch = ch
+        corr_feat = corr.alt_corr(fpyr, coords_ch, iir_ch, jjr_ch)
+        ii_loc = jnp.clip(ii_ch - base, 0, P - 1)
+        net_c, delta_c, w_c, eta_c, _, has_c = update_op.apply(
+            {"params": params["update"]},
+            net_ch.astype(jnp.bfloat16), inps_v[ii_ch],
+            corr_feat.astype(jnp.bfloat16),
+            motion_ch.astype(jnp.bfloat16),
+            ii_loc, ok_ch)
+        eta_sum, has_sum = carry
+        hf = has_c.astype(jnp.float32)
+        carry = (eta_sum + eta_c.astype(jnp.float32) * hf[:, None, None],
+                 has_sum + hf)
+        return carry, (net_c, delta_c, w_c)
+
+    init = (jnp.zeros((P, h8, w8), jnp.float32),
+            jnp.zeros((P,), jnp.float32))
+    if vary_axis is not None:
+        # inside shard_map the scanned updates are device-varying; the
+        # initial carry must be cast to match
+        init = jax.tree.map(
+            lambda x: jax.lax.pcast(x, (vary_axis,), to="varying"), init)
+    (eta_sum, has_any), (net_new, delta, w_new) = jax.lax.scan(
+        body,
+        init,
+        (resh(coords1), resh(motion), resh(net_in), resh(ii_s),
+         resh(ii_rs), resh(jj_rs), resh(valid)))
+
+    flat = lambda a: a.reshape((nchunks * chunk,) + a.shape[2:])
+    return flat(net_new), flat(delta), flat(w_new), eta_sum, has_any
+
+
 @functools.partial(jax.jit, static_argnames=(
     "P", "cap", "cap_inac", "upsample", "max_deg", "iters", "motion_only"))
 def _update_kernel(P, cap, cap_inac, upsample, max_deg, params,
@@ -630,37 +680,12 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, params,
         ii_sc, jj_sc, ii_rsc, jj_rsc = ii_s, jj_s, ii_rs, jj_rs
         valid_c = valid
 
-    def do_chunk(c0):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0, chunk)
-        corr_feat = corr.alt_corr(fpyr, sl(coords1_c), sl(ii_rsc),
-                                  sl(jj_rsc))
-        ii_loc = jnp.clip(sl(ii_sc) - base, 0, P - 1)
-        net_c, delta_c, w_c, eta_c, _, has_edge_c = update_op.apply(
-            {"params": params["update"]},
-            sl(net_c_in).astype(jnp.bfloat16), inps_v[sl(ii_sc)],
-            corr_feat.astype(jnp.bfloat16),
-            sl(motion_c).astype(jnp.bfloat16),
-            ii_loc, sl(valid_c))
-        return net_c, delta_c, w_c, eta_c, has_edge_c
+    net_new, delta, w_new, eta_sum, has_any = _gru_chunk_scan(
+        update_op, params, fpyr, inps_v, coords1_c, motion_c, net_c_in,
+        ii_sc, ii_rsc, jj_rsc, valid_c, nchunks, chunk, P, base, h8, w8)
+    net_new, delta, w_new = net_new[:cap], delta[:cap], w_new[:cap]
 
-    nets, deltas, ws, etas, hases = [], [], [], [], []
-    for c in range(nchunks):
-        net_c, delta_c, w_c, eta_c, has_c = do_chunk(c * chunk)
-        nets.append(net_c)
-        deltas.append(delta_c)
-        ws.append(w_c)
-        etas.append(eta_c)
-        hases.append(has_c)
-
-    net_new = jnp.concatenate(nets)[:cap]
-    delta = jnp.concatenate(deltas)[:cap]
-    w_new = jnp.concatenate(ws)[:cap]
-
-    # merge per-chunk damping estimates (mean over chunks that saw the frame)
-    eta_all = jnp.stack(etas)                       # [nc, P, h8, w8]
-    has_all = jnp.stack(hases).astype(jnp.float32)  # [nc, P]
-    eta_sum = jnp.einsum("cphw,cp->phw", eta_all.astype(jnp.float32), has_all)
-    has_any = has_all.sum(0)
+    # per-chunk damping estimates: mean over chunks that saw the frame
     eta_mean = eta_sum / jnp.maximum(has_any, 1.0)[:, None, None]
 
     vmask = valid[:, None, None, None]
@@ -751,8 +776,7 @@ def _lowmem_kernel_sharded(P, chunk, max_deg, mesh, params,
                                           ii_l, jj_l)
         motion = _motion_features(coords1, tgt_e, h8, w8)
 
-        # pad to nchunks*csize (dynamic_slice clamps OOB starts — see
-        # the single-device kernel)
+        # pad to nchunks*csize for the chunk scan
         cpad = nchunks * csize - Es
         if cpad:
             pz = lambda a: jnp.concatenate(
@@ -765,39 +789,15 @@ def _lowmem_kernel_sharded(P, chunk, max_deg, mesh, params,
             ii_lc, ii_rlc, jj_rlc = ii_l, ii_rl, jj_rl
             ok_c = ok_e
 
-        def do_chunk(c0):
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0, csize)
-            corr_feat = corr.alt_corr(fpyr_rep, sl(coords1_c), sl(ii_rlc),
-                                      sl(jj_rlc))
-            ii_loc = jnp.clip(sl(ii_lc), 0, P - 1)
-            return update_op.apply(
-                {"params": params["update"]},
-                sl(net_in).astype(jnp.bfloat16), inps_rep[sl(ii_lc)],
-                corr_feat.astype(jnp.bfloat16),
-                sl(motion_c).astype(jnp.bfloat16),
-                ii_loc, sl(ok_c))
-
-        nets, deltas, ws, etas, hases = [], [], [], [], []
-        for c in range(nchunks):
-            net_c, delta_c, w_c, eta_c, _, has_c = do_chunk(c * csize)
-            nets.append(net_c)
-            deltas.append(delta_c)
-            ws.append(w_c)
-            etas.append(eta_c)
-            hases.append(has_c)
-
-        net_new = jnp.concatenate(nets)[:Es]
-        delta = jnp.concatenate(deltas)[:Es]
-        w_new = jnp.concatenate(ws)[:Es]
+        net_new, delta, w_new, eta_sum, has_any = _gru_chunk_scan(
+            update_op, params, fpyr_rep, inps_rep, coords1_c, motion_c,
+            net_in, ii_lc, ii_rlc, jj_rlc, ok_c, nchunks, csize, P, 0,
+            h8, w8, vary_axis=axis)
+        net_new, delta, w_new = net_new[:Es], delta[:Es], w_new[:Es]
 
         # per-frame damping: sum over this shard's chunks, then combine
         # across shards — every frame's edges are shard-local, so psum
         # recovers the global per-frame chunk sums
-        eta_all = jnp.stack(etas)
-        has_all = jnp.stack(hases).astype(jnp.float32)
-        eta_sum = jnp.einsum("cphw,cp->phw", eta_all.astype(jnp.float32),
-                             has_all)
-        has_any = has_all.sum(0)
         eta_sum = jax.lax.psum(eta_sum, axis)
         has_any = jax.lax.psum(has_any, axis)
         eta_mean = eta_sum / jnp.maximum(has_any, 1.0)[:, None, None]

@@ -68,6 +68,21 @@ class TrainConfig:
     flow_w: float = 0.1
     pose_w: float = 10.0
     clip: float = 2.5
+    # refinement-state curriculum (round-3): with warm_prob, run
+    # warm_iters update+BA iterations under stop_gradient first, so the
+    # supervised unroll starts from PARTIALLY-CONVERGED states — the
+    # regime the runtime actually spends most iterations in, where the
+    # round-2 net carried a ~0.1-0.2 px systematic flow bias.
+    warm_prob: float = 0.3
+    warm_iters: int = 3
+    # photometric augmentation (exposure gain/bias per clip + pixel
+    # noise) — the runtime sees real sensor images, not clean renders
+    photo_aug: bool = True
+    # additional (ht, wd) resolutions mixed into the scene pool so one
+    # checkpoint serves multiple operating regimes (each resolution gets
+    # its own compiled train step; fx scales with W so the px/rad gain
+    # differs — exactly what the runtime sees across datasets)
+    multires: tuple = ()
 
 
 def _texture_rand(p, ph):
@@ -95,13 +110,36 @@ def make_scene(seed: int, cfg: TrainConfig):
     fx = fy = 0.9 * W
     cx, cy = W / 2 - 0.5, H / 2 - 0.5
 
-    # smooth random trajectory inside the room
+    # smooth random trajectory inside the room — a MIXTURE of motion
+    # regimes (round-3): orbit (yaw+translation, the round-2 recipe),
+    # translation-dominant (the runtime's corridor/strafe motion), and
+    # rotation-only (in-place pans — pure-rotation flow has no parallax
+    # and is a distinct regime for the update operator).
     a0 = rng.uniform(0, 2 * np.pi)
     # per-frame yaw: up to ~0.15 rad so identity-init edge flows span
     # 0..~2*0.15*fx8 px — covering the runtime's admission/extrapolation
     # flow range, not just sub-pixel refinement
-    da = rng.uniform(0.02, 0.15) * rng.choice([-1.0, 1.0])
-    rad = rng.uniform(0.4, 0.25 * half)
+    mode = rng.choice(["orbit", "translate", "rotate"],
+                      p=[0.4, 0.35, 0.25])
+    if mode == "orbit":
+        da = rng.uniform(0.02, 0.15) * rng.choice([-1.0, 1.0])
+        rad = rng.uniform(0.4, 0.25 * half)
+        step_v = np.zeros(3)
+    elif mode == "translate":
+        da = rng.uniform(0.0, 0.03) * rng.choice([-1.0, 1.0])
+        rad = 0.0
+        v = rng.standard_normal(3)
+        v[1] *= 0.3                      # mostly horizontal
+        v /= np.linalg.norm(v) + 1e-9
+        # keep the full clip inside the room (the renderer assumes the
+        # camera is interior to the box)
+        step_v = v * min(rng.uniform(0.05, 0.22), 0.3 * half / N)
+    else:                                # rotate (in-place pan)
+        da = rng.uniform(0.05, 0.2) * rng.choice([-1.0, 1.0])
+        rad = 0.0
+        step_v = np.zeros(3)
+    base_p = rng.uniform(-0.2 * half, 0.2 * half, 3)
+    base_p[1] *= 0.5
     c2ws = []
     for k in range(N):
         a = a0 + da * k
@@ -110,9 +148,12 @@ def make_scene(seed: int, cfg: TrainConfig):
             [np.cos(a), 0, np.sin(a)],
             [0, 1, 0],
             [-np.sin(a), 0, np.cos(a)]], np.float32)
-        c2w[:3, 3] = [rad * np.sin(a) + rng.normal(0, 0.01),
-                      0.3 * np.sin(2.5 * a) + rng.normal(0, 0.01),
-                      rad * np.cos(a) - 0.3 + rng.normal(0, 0.01)]
+        if mode == "orbit":
+            c2w[:3, 3] = [rad * np.sin(a) + rng.normal(0, 0.01),
+                          0.3 * np.sin(2.5 * a) + rng.normal(0, 0.01),
+                          rad * np.cos(a) - 0.3 + rng.normal(0, 0.01)]
+        else:
+            c2w[:3, 3] = base_p + step_v * k + rng.normal(0, 0.01, 3)
         c2ws.append(c2w)
 
     j, i = np.meshgrid(np.arange(H, dtype=np.float32),
@@ -170,6 +211,17 @@ def make_train_step(cfg: TrainConfig, model: DroidNet, tx):
 
     def loss_fn(params, images, poses_gt, disps_gt, intr8, key):
         h8, w8 = disps_gt.shape[-2:]
+        key, ka1, ka2, ka3 = jax.random.split(key, 4)
+        if cfg.photo_aug:
+            # exposure gain/bias per clip + per-pixel sensor noise; the
+            # encoder must be invariant to what a real camera does to
+            # the same scene between frames
+            gain = jax.random.uniform(ka1, (1, 1, 1, 3), minval=0.7,
+                                      maxval=1.3)
+            bias = jax.random.uniform(ka2, (1, 1, 1, 3), minval=-0.1,
+                                      maxval=0.1)
+            noise = 0.02 * jax.random.normal(ka3, images.shape)
+            images = jnp.clip(images * gain + bias + noise, 0.0, 1.0)
         # ImageNet normalization — MUST match the runtime encode path
         # (tracking/motion_filter.py:71-77); training on raw [0,1] images
         # while the runtime feeds normalized ones cost ~4x e2e ATE in
@@ -207,10 +259,9 @@ def make_train_step(cfg: TrainConfig, model: DroidNet, tx):
         inps = inp[ii]
         target = projective.transform(poses, disps, intr8, ii, jj)[0]
 
-        total = 0.0
-        metrics = {}
         grid = projective.coords_grid(h8, w8)
-        for k in range(cfg.k_iters):
+
+        def update_iter(net, poses, disps, target):
             coords1, _ = projective.transform(poses, disps, intr8, ii, jj)
             motion = jnp.clip(
                 jnp.concatenate([coords1 - grid, target - coords1], -1),
@@ -225,12 +276,35 @@ def make_train_step(cfg: TrainConfig, model: DroidNet, tx):
             target = coords1 + delta.astype(jnp.float32)
             weight = weight.astype(jnp.float32)
             eta_ba = 0.2 * eta.astype(jnp.float32) + EPS_DAMP
-
             poses, disps = dba.ba(
                 poses, disps, intr8, jnp.zeros_like(disps), target,
                 weight, eta_ba, ii, jj, valid, 1, N,
                 iters=cfg.ba_iters, solver="chol", fused=False)
+            return net, poses, disps, target, weight
 
+        # refinement-state curriculum: sometimes warm the state into a
+        # partially-converged basin first, WITHOUT gradients — the
+        # supervised unroll then trains exactly the near-converged
+        # update distribution the runtime lives in
+        if cfg.warm_prob > 0 and cfg.warm_iters > 0:
+            key, kw = jax.random.split(key)
+            do_warm = jax.random.uniform(kw, ()) < cfg.warm_prob
+            wnet, wposes, wdisps, wtarget = net, poses, disps, target
+            for _ in range(cfg.warm_iters):
+                wnet, wposes, wdisps, wtarget, _ = update_iter(
+                    wnet, wposes, wdisps, wtarget)
+            sg = jax.lax.stop_gradient
+            pick = lambda a, b: jnp.where(do_warm, sg(a), b)
+            net = pick(wnet, net)
+            poses = pick(wposes, poses)
+            disps = pick(wdisps, disps)
+            target = pick(wtarget, target)
+
+        total = 0.0
+        metrics = {}
+        for k in range(cfg.k_iters):
+            net, poses, disps, target, weight = update_iter(
+                net, poses, disps, target)
             w_k = cfg.gamma ** (cfg.k_iters - 1 - k)
             fl = jnp.abs(target - gt_coords).mean()
             pl_ = _pose_loss(poses, poses_gt)
@@ -272,7 +346,9 @@ def fit(cfg: TrainConfig, out_path: str, log_every: int = 50,
     step_fn = make_train_step(cfg, model, tx)
 
     print(f"rendering {cfg.n_scenes} scenes ...", flush=True)
-    scenes = [make_scene(cfg.seed * 10007 + s, cfg)
+    rescfgs = [cfg] + [dataclasses.replace(cfg, ht=h, wd=w)
+                       for (h, w) in (cfg.multires or ())]
+    scenes = [make_scene(cfg.seed * 10007 + s, rescfgs[s % len(rescfgs)])
               for s in range(cfg.n_scenes)]
 
     key = jax.random.PRNGKey(cfg.seed)

@@ -19,7 +19,10 @@ def main():
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--ht", type=int, default=128)
     ap.add_argument("--wd", type=int, default=192)
-    ap.add_argument("--scenes", type=int, default=384)
+    ap.add_argument("--scenes", type=int, default=2048)
+    ap.add_argument("--multires", default="240x320",
+                    help="comma-separated extra HxW resolutions mixed "
+                         "into the scene pool ('' to disable)")
     ap.add_argument("--lr", type=float, default=2.5e-4)
     ap.add_argument("--out", default="checkpoints/droid_synthetic.ckpt")
     ap.add_argument("--log", default="")
@@ -33,8 +36,11 @@ def main():
 
     from goslam_tpu.train.trainer import TrainConfig, fit, load_checkpoint
 
+    multires = tuple(
+        tuple(int(v) for v in r.split("x"))
+        for r in args.multires.split(",") if r)
     cfg = TrainConfig(steps=args.steps, n_scenes=args.scenes, lr=args.lr,
-                      ht=args.ht, wd=args.wd)
+                      ht=args.ht, wd=args.wd, multires=multires)
     params = None
     if args.resume and os.path.exists(args.resume):
         params, _ = load_checkpoint(args.resume)

@@ -134,3 +134,114 @@ def test_schur_matvec_matches_xla(rng):
                        jj_pad, fb=fb, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Compiled-mode (Mosaic) parity — TPU only, slow tier (VERDICT r2 #6).
+# The interpreter above validates semantics; these validate the actual
+# Mosaic lowering the runtime executes on the chip.
+# ---------------------------------------------------------------------------
+
+tpu_only = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="Mosaic lowering parity needs the real TPU")
+
+
+@tpu_only
+@pytest.mark.slow
+def test_fused_edge_system_mosaic_matches_xla(rng):
+    with jax.default_matmul_precision("highest"):
+        poses, disps, intr, tgt, wgt, ii, jj, valid = _problem(rng)
+        ref = dba.build_edge_system(poses, disps, intr, tgt, wgt,
+                                    jnp.asarray(ii), jnp.asarray(jj),
+                                    jnp.asarray(valid))
+        out = build_edge_system_fused(
+            poses, disps, intr, tgt, wgt, jnp.asarray(ii),
+            jnp.asarray(jj), jnp.asarray(valid), eb=8, interpret=False)
+    for name, a, b in zip(ref._fields, out, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
+                                   err_msg=name)
+
+
+@tpu_only
+@pytest.mark.slow
+def test_schur_matvec_mosaic_matches_xla(rng):
+    """Compiled Pallas Schur matvec (double-buffered DMA path) vs the
+    XLA einsum expression, on the real chip."""
+    from goslam_tpu.ops.pallas_kernels import (schur_matvec, schur_pack,
+                                               schur_matvec_plan)
+
+    Pn, hw, max_deg, fb = 8, 64, 4, 8
+    E = 8 * max_deg + 8          # satisfies the slab-size precondition
+    ii = np.repeat(np.arange(Pn), max_deg)[:E].astype(np.int32)
+    jj = ((ii + 1 + np.arange(E) % (Pn - 1)) % Pn).astype(np.int32)
+    valid = np.ones(E, bool)
+    valid[-3:] = False
+
+    order, cstart, onehot, jj_pad = schur_matvec_plan(
+        jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(valid), Pn,
+        max_deg, fb=fb)
+    ii_s = np.asarray(ii)[np.asarray(order)]
+    jj_s = np.asarray(jj)[np.asarray(order)]
+    vd_s = np.asarray(valid)[np.asarray(order)]
+
+    Ei = jnp.asarray(rng.standard_normal((Pn, 6, hw)), jnp.float32)
+    Eij = jnp.asarray(rng.standard_normal((E, 6, hw)), jnp.float32)
+    Eij = Eij * jnp.asarray(vd_s, jnp.float32)[:, None, None]
+    Q = jnp.asarray(0.1 + rng.random((Pn, hw)), jnp.float32)
+    H = jnp.asarray(rng.standard_normal((E, 6, 6)), jnp.float32)
+    H = H * jnp.asarray(vd_s, jnp.float32)[:, None, None]
+    x = jnp.asarray(rng.standard_normal((Pn, 6)), jnp.float32)
+
+    Eij_p, H_p = schur_pack(Ei, Eij, Q, H)
+
+    out_tpu = np.asarray(schur_matvec(
+        x, Ei, Eij_p, Q, H_p, x[jnp.asarray(jj_s)], cstart, onehot,
+        jj_pad, fb=fb, interpret=False))
+    out_ref = np.asarray(schur_matvec(
+        x, Ei, Eij_p, Q, H_p, x[jnp.asarray(jj_s)], cstart, onehot,
+        jj_pad, fb=fb, interpret=True))
+    scale = np.abs(out_ref).max() + 1e-12
+    np.testing.assert_allclose(out_tpu / scale, out_ref / scale,
+                               atol=1e-4)
+
+
+@tpu_only
+@pytest.mark.slow
+def test_fused_cg_ba_mosaic_matches_xla_cg(rng):
+    """The full runtime configuration on the chip: dba.ba with the Pallas
+    fused build + Pallas Schur-matvec CG (fused=True, compiled) vs the
+    pure-XLA CG path (fused=False) — end-to-end solver parity in the
+    exact mode Backend.dense_ba selects on TPU."""
+    from goslam_tpu.ops import projective
+
+    Pn, ht, wd = 16, 8, 16
+    poses = jax.vmap(lie.exp)(jnp.asarray(
+        np.cumsum(0.01 * rng.standard_normal((Pn, 6)), 0), jnp.float32))
+    disps = jnp.asarray(0.4 + 0.2 * rng.random((Pn, ht, wd)), jnp.float32)
+    intr = jnp.asarray([12.0, 12.0, wd / 2, ht / 2], jnp.float32)
+    ii_l, jj_l = [], []
+    for a in range(Pn):
+        for b in range(max(0, a - 3), a):
+            ii_l += [a, b]
+            jj_l += [b, a]
+    ii = jnp.asarray(ii_l, jnp.int32)
+    jj = jnp.asarray(jj_l, jnp.int32)
+    E = ii.shape[0]
+    coords, _ = projective.transform(poses, disps, intr, ii, jj)
+    tgt = coords + 0.5
+    wgt = jnp.ones((E, ht, wd, 2), jnp.float32)
+    eta = jnp.full((Pn, ht, wd), 1e-4, jnp.float32)
+    valid = jnp.ones((E,), bool)
+
+    args = (poses, disps, intr, jnp.zeros_like(disps), tgt, wgt, eta,
+            ii, jj, valid, 1, Pn)
+    kw = dict(iters=2, solver="cg", cg_iters=32, max_deg=8)
+    p_ref, d_ref = dba.ba(*args, fused=False, **kw)
+    p_tpu, d_tpu = dba.ba(*args, fused=True, **kw)
+    np.testing.assert_allclose(np.asarray(p_tpu), np.asarray(p_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d_tpu), np.asarray(d_ref),
+                               atol=1e-3)
