@@ -249,6 +249,8 @@ def build_edge_system_fused(poses, disps, intrinsics, target, weight,
             pltpu.VMEM((eb, 16, hw), jnp.float32),
             pltpu.VMEM((eb, 16, hw), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(intr, d_i.astype(jnp.float32), tgt.astype(jnp.float32),
       wgt.astype(jnp.float32), g.astype(jnp.float32))
@@ -453,6 +455,11 @@ def schur_matvec(x, Ei, Eij_packed, Q, H_packed, xj, cstart, onehot,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # the double-buffered slabs alone are ~16 MiB at backend scale
+        # (cap=392, hwp=1280 -> 15.3 MiB bf16 + 0.77 MiB H), just over the
+        # default 16 MiB scoped-vmem budget; raise it (v5e has 128 MiB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(cstart, x, Ei, Q, onehot, xj8, Eij_packed, H_packed)
 

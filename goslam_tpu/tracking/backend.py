@@ -18,6 +18,12 @@ from .video import VideoBuffer
 
 
 class Backend:
+    # observability: accepted loop-vote candidates (loop-closure proof in
+    # tests). Class-level defaults so partially-constructed instances
+    # (tests use Backend.__new__ to drive _propose_edges alone) count too.
+    last_loop_accepts = 0
+    total_loop_accepts = 0
+
     def __init__(self, params, video: VideoBuffer, cfg: dict, mesh=None):
         t = cfg["tracking"]
         self.params = params
@@ -35,8 +41,6 @@ class Backend:
         self.backend_loop_thresh = b["loop_thresh"]
         self.backend_loop_radius = b["loop_radius"]
         self.backend_loop_nms = b["loop_nms"]
-        # observability: accepted loop-vote candidates (loop-closure
-        # proof in tests) — last proposal and cumulative
         self.last_loop_accepts = 0
         self.total_loop_accepts = 0
 

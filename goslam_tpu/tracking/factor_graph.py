@@ -52,7 +52,12 @@ class FactorGraph:
 
         cap = bucket(max_factors + 48)
         self.cap = cap
-        self.chunk = min(chunk, cap)
+        # chunk must divide cap exactly: the lowmem kernel updates its
+        # slabs in place per chunk, with no padded copies
+        c = min(chunk, cap)
+        while cap % c:
+            c -= 1
+        self.chunk = c
         self.cap_inac = bucket(max(inac_capacity, max_factors)) \
             if inac_capacity >= 0 else 0
 
@@ -389,15 +394,13 @@ class FactorGraph:
 
         rig = self.video.rig
         Tb = bucket(min((t + 2) * rig, self.video.buffer * rig))
-        fmaps = self.video.fmaps[:Tb // rig].reshape(
-            -1, self.h8, self.w8, 128)
 
         P = bucket(t1)
         base = 0
 
         for _ in range(steps):
-            self._lowmem_step(P, Tb, fmaps, base, t0, t1, iters, lm, ep,
-                              motion_only)
+            self._lowmem_step(P, Tb, self.video.fmaps, base, t0, t1,
+                              iters, lm, ep, motion_only)
         self.video.dirty[:t] = True
 
     def _lowmem_step(self, P, Tb, fmaps, base, t0, t1, iters, lm, ep,
@@ -407,7 +410,7 @@ class FactorGraph:
         ii_r = self.ii * rig
         jj_r = self.jj * rig + (self.ii == self.jj).astype(np.int32) \
             if self.video.stereo else self.jj
-        nchunks = (self.cap + self.chunk - 1) // self.chunk
+        nchunks = self.cap // self.chunk
         ii_all = self.ii[self.valid]
         deg = int(np.bincount(ii_all, minlength=1).max()) if len(ii_all) \
             else 1
@@ -418,12 +421,12 @@ class FactorGraph:
         solver = "cg" if P >= 192 else "chol"
 
         if self.mesh is not None and not motion_only:
-            self._lowmem_step_sharded(P, fmaps, base, t0, t1, iters, lm,
-                                      ep, max_deg, ii_r, jj_r)
+            self._lowmem_step_sharded(P, Tb, fmaps, base, t0, t1, iters,
+                                      lm, ep, max_deg, ii_r, jj_r)
             return
 
         out = _lowmem_kernel(
-            P, self.cap, self.chunk, nchunks, max_deg,
+            P, self.cap, self.chunk, nchunks, max_deg, Tb,
             self.params,
             self.video.poses, self.video.disps, self.video.disps_sens,
             self.video.damping, self.video.intrinsics, self.video.inps,
@@ -436,8 +439,8 @@ class FactorGraph:
         (self.video.poses, self.video.disps, self.video.damping,
          self.net, self.target, self.weight) = out
 
-    def _lowmem_step_sharded(self, P, fmaps, base, t0, t1, iters, lm, ep,
-                             max_deg, ii_r, jj_r):
+    def _lowmem_step_sharded(self, P, Tb, fmaps, base, t0, t1, iters,
+                             lm, ep, max_deg, ii_r, jj_r):
         """Multi-device low-memory step: edges partitioned by source frame
         over the mesh, alt-corr + GRU + DBA sharded over the edge dim
         (SURVEY §2.8). Results match the single-device path (validated in
@@ -460,7 +463,7 @@ class FactorGraph:
         ok_sh = pad_ok & self.valid[sc]
 
         out = _lowmem_kernel_sharded(
-            P, self.chunk, max_deg, self.mesh,
+            P, self.chunk, max_deg, self.mesh, Tb,
             self.params,
             self.video.poses, self.video.disps, self.video.disps_sens,
             self.video.damping, self.video.intrinsics, self.video.inps,
@@ -477,7 +480,8 @@ class FactorGraph:
 # jitted kernels (module-level for cache sharing across graphs)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("volume_impl", "stereo"))
+@functools.partial(jax.jit, static_argnames=("volume_impl", "stereo"),
+                   donate_argnums=(10, 11, 12, 13))
 def _new_edge_kernel(volume_impl, stereo, poses, disps, intrinsics, fmaps,
                      nets_v, ii, jj, slots, net, target, weight, pyramid):
     """Initialize state for new edge slots: GRU hidden from the source
@@ -641,16 +645,27 @@ def _update_kernel(P, cap, cap_inac, upsample, max_deg, params,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "P", "cap", "chunk", "nchunks", "max_deg", "iters", "motion_only",
-    "solver"))
-def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, params,
+    "P", "cap", "chunk", "nchunks", "max_deg", "Tb", "iters",
+    "motion_only", "solver"),
+    donate_argnums=(7, 8, 10, 14, 15, 16))
+def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, Tb, params,
                    poses, disps, disps_sens, damping, intrinsics, inps_v,
                    fmaps, net, target, weight,
                    ii, jj, ii_r, jj_r, valid,
                    base, t0, t1, iters, lm, ep, motion_only,
                    solver="chol"):
     """One step of the low-memory path: alt-corr GRU over edge chunks,
-    then full-window DBA (factor_graph.py:272-318)."""
+    then full-window DBA (factor_graph.py:272-318).
+
+    MEMORY CONTRACT (this is the long-sequence scaling path): the GRU
+    hidden slab [cap, h8, w8, 128] is the dominant allocation at backend
+    scale (~4 GB at 12k edges x 1200 px); it must exist ONCE. The chunk
+    loop is a fori_loop carrying (net, target, weight) and updating them
+    in place with dynamic_update_slice — XLA aliases the carry — and the
+    input buffers are donated (the caller reassigns from the outputs).
+    chunk must divide cap exactly (FactorGraph picks the largest divisor
+    <= the configured chunk), so no padded copies exist either."""
+    assert nchunks * chunk == cap, "chunk must divide cap (no padding)"
     h8, w8 = disps.shape[-2:]
 
     ii_s = jnp.where(valid, ii, 0)
@@ -658,40 +673,53 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, params,
     ii_rs = jnp.where(valid, ii_r, 0)
     jj_rs = jnp.where(valid, jj_r, 0)
 
-    coords1, _ = projective.transform(poses, disps, intrinsics, ii_s, jj_s)
-    motion = _motion_features(coords1, target, h8, w8)
-
-    fpyr = corr.build_feature_pyramid(fmaps)
+    # slice + rig-flatten INSIDE the program (a host-side reshape of the
+    # [B, rig, h8, w8, 128] feature buffer materializes a full copy that
+    # tips HBM over at multi-thousand-keyframe scale)
+    fm = fmaps[:Tb // fmaps.shape[1]].reshape(-1, h8, w8, 128)
+    fpyr = corr.build_feature_pyramid(fm)
     update_op = UpdateModule(num_frames=P)
 
-    # pad the edge dim to nchunks*chunk: dynamic_slice CLAMPS out-of-range
-    # starts, so a final partial chunk would silently re-read earlier
-    # edges and misalign the concatenated results
-    cpad = nchunks * chunk - cap
-    if cpad:
-        pz = lambda a: jnp.concatenate(
-            [a, jnp.zeros((cpad,) + a.shape[1:], a.dtype)])
-        coords1_c, motion_c, net_c_in = pz(coords1), pz(motion), pz(net)
-        ii_sc, jj_sc = pz(ii_s), pz(jj_s)
-        ii_rsc, jj_rsc = pz(ii_rs), pz(jj_rs)
-        valid_c = pz(valid)
-    else:
-        coords1_c, motion_c, net_c_in = coords1, motion, net
-        ii_sc, jj_sc, ii_rsc, jj_rsc = ii_s, jj_s, ii_rs, jj_rs
-        valid_c = valid
+    def body(c, carry):
+        net, target, weight, eta_sum, has_sum = carry
+        c0 = c * chunk
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0, chunk)
+        ii_ch, jj_ch = sl(ii_s), sl(jj_s)
+        iir_ch, jjr_ch = sl(ii_rs), sl(jj_rs)
+        ok_ch = sl(valid)
+        tgt_ch = sl(target)
+        wt_ch = sl(weight)
+        net_ch = sl(net)
+        coords_ch, _ = projective.transform(poses, disps, intrinsics,
+                                            ii_ch, jj_ch)
+        motion_ch = _motion_features(coords_ch, tgt_ch, h8, w8)
+        corr_feat = corr.alt_corr(fpyr, coords_ch, iir_ch, jjr_ch)
+        ii_loc = jnp.clip(ii_ch - base, 0, P - 1)
+        net_c, delta_c, w_c, eta_c, _, has_c = update_op.apply(
+            {"params": params["update"]},
+            net_ch.astype(jnp.bfloat16), inps_v[ii_ch],
+            corr_feat.astype(jnp.bfloat16),
+            motion_ch.astype(jnp.bfloat16),
+            ii_loc, ok_ch)
+        okm = ok_ch[:, None, None, None]
+        up = lambda a, v: jax.lax.dynamic_update_slice_in_dim(a, v, c0, 0)
+        net = up(net, jnp.where(okm, net_c.astype(net.dtype), net_ch))
+        target = up(target, jnp.where(
+            okm, coords_ch + delta_c.astype(jnp.float32), tgt_ch))
+        weight = up(weight, jnp.where(
+            okm, w_c.astype(jnp.float32), wt_ch))
+        hf = has_c.astype(jnp.float32)
+        eta_sum = eta_sum + eta_c.astype(jnp.float32) * hf[:, None, None]
+        has_sum = has_sum + hf
+        return net, target, weight, eta_sum, has_sum
 
-    net_new, delta, w_new, eta_sum, has_any = _gru_chunk_scan(
-        update_op, params, fpyr, inps_v, coords1_c, motion_c, net_c_in,
-        ii_sc, ii_rsc, jj_rsc, valid_c, nchunks, chunk, P, base, h8, w8)
-    net_new, delta, w_new = net_new[:cap], delta[:cap], w_new[:cap]
+    net, target, weight, eta_sum, has_any = jax.lax.fori_loop(
+        0, nchunks, body,
+        (net, target, weight,
+         jnp.zeros((P, h8, w8), jnp.float32), jnp.zeros((P,), jnp.float32)))
 
     # per-chunk damping estimates: mean over chunks that saw the frame
     eta_mean = eta_sum / jnp.maximum(has_any, 1.0)[:, None, None]
-
-    vmask = valid[:, None, None, None]
-    net = jnp.where(vmask, net_new, net)
-    target = jnp.where(vmask, coords1 + delta.astype(jnp.float32), target)
-    weight = jnp.where(vmask, w_new.astype(jnp.float32), weight)
 
     damping_w = jax.lax.dynamic_slice(damping, (base, 0, 0), (P, h8, w8))
     damping_w = jnp.where((has_any > 0)[:, None, None], eta_mean, damping_w)
@@ -716,8 +744,8 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, params,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "P", "chunk", "max_deg", "mesh", "iters"))
-def _lowmem_kernel_sharded(P, chunk, max_deg, mesh, params,
+    "P", "chunk", "max_deg", "mesh", "Tb", "iters"))
+def _lowmem_kernel_sharded(P, chunk, max_deg, mesh, Tb, params,
                            poses, disps, disps_sens, damping, intrinsics,
                            inps_v, fmaps, net, target, weight,
                            ii_sh, jj_sh, ii_rsh, jj_rsh, ok_sh, slot_idx,
@@ -744,7 +772,8 @@ def _lowmem_kernel_sharded(P, chunk, max_deg, mesh, params,
     sens_w = jax.lax.dynamic_slice(disps_sens, (base, 0, 0), (P, h8, w8))
     damping_w0 = jax.lax.dynamic_slice(damping, (base, 0, 0), (P, h8, w8))
 
-    fpyr = corr.build_feature_pyramid(fmaps)
+    fm = fmaps[:Tb // fmaps.shape[1]].reshape(-1, h8, w8, 128)
+    fpyr = corr.build_feature_pyramid(fm)
     update_op = UpdateModule(num_frames=P)
 
     # gather per-edge device state into shard-major layout [S*Es, ...]

@@ -10,7 +10,7 @@ from typing import Sequence
 
 DEFAULT_BUCKETS = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512,
                    768, 1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288,
-                   16384, 24576, 32768)
+                   12800, 16384, 24576, 32768)
 
 
 def bucket(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
