@@ -59,6 +59,12 @@ class MultiviewFilter:
         self.kernel_size = mv["kernel_size"]
         self.bound_enlarge = mv["bound_enlarge_scale"]
         self.warmup = warmup
+        # the reference always feeds *upsampled* disps to this filter
+        # (multiview_filter.py:105, upsample defaults True whenever
+        # mapping runs); when tracking.upsample is off, fall back to a
+        # bilinear resize of the 1/8-res disps so the filter still
+        # publishes masks/bounds for the mapper
+        self.use_upsampled = bool(cfg["tracking"].get("upsample", True))
 
     def __call__(self) -> bool:
         """Run one filter pass; returns True if new filtered state was
@@ -71,9 +77,14 @@ class MultiviewFilter:
         T = bucket(cur_t)
         intr_full = video.intrinsics * video.device_scale
 
+        if self.use_upsampled:
+            disps_full = video.disps_up[:T]
+        else:
+            disps_full = jax.image.resize(
+                video.disps[:T], (T, video.ht, video.wd), "bilinear")
         masks, pts = _filter_kernel(
             T, self.visible_num,
-            video.poses[:T], video.disps_up[:T], intr_full,
+            video.poses[:T], disps_full, intr_full,
             video.pose_compensate, self.thresh)
         masks = np.array(masks[:cur_t])
         pts = np.asarray(pts[:cur_t])
@@ -102,7 +113,7 @@ class MultiviewFilter:
         video.mask_filtered = video.mask_filtered.at[:cur_t].set(
             jnp.asarray(masks_ext, jnp.float32))
         video.disps_filtered = video.disps_filtered.at[:cur_t].set(
-            video.disps_up[:cur_t])
+            jnp.asarray(disps_full[:cur_t]))
         video.poses_filtered = video.poses_filtered.at[:cur_t].set(
             video.poses[:cur_t])
         video.filtered_id = cur_t

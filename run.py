@@ -147,9 +147,18 @@ def main():
                 if dataset.timestamps is not None else float(idx)
             yield ts, image, depth, intrinsics, gt_pose
 
+    gt_mesh_path = cfg["meshing"].get("gt_mesh_path", "")
+    if (not gt_mesh_path and cfg["meshing"].get("eval_rec")
+            and hasattr(dataset, "gt_mesh")):
+        # analytic datasets know their exact geometry — write the GT
+        # mesh next to the outputs so mesh eval runs without assets
+        from goslam_tpu.mapping import mesher as M
+        gv, gt_tris = dataset.gt_mesh()
+        gt_mesh_path = os.path.join(output, "gt_mesh.ply")
+        M.save_ply(gt_mesh_path, gv, gt_tris)
+
     metrics = slam.terminate(
-        stream=stream(),
-        eval_mesh_path=cfg["meshing"].get("gt_mesh_path", ""))
+        stream=stream(), eval_mesh_path=gt_mesh_path)
     print(json.dumps(metrics, indent=2, default=str))
 
     if args.make_video:

@@ -30,7 +30,9 @@ def _loop_cfg(enable_loop: bool):
         "data": {"input_folder": "", "n_frames": 60, "output": "",
                  "room_half_size": 3.0, "orbit_fraction": 1.0},
         "tracking": {
-            "buffer": 64, "warmup": 4,
+            # full orbit at thresh 2.0 admits ~50 keyframes; the
+            # trajectory filler additionally needs batch=16 free slots
+            "buffer": 96, "warmup": 4,
             "motion_filter": {"thresh": 2.0},
             "frontend": {"window": 8, "max_factors": 32,
                          "enable_loop": enable_loop,

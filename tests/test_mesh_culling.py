@@ -164,3 +164,37 @@ def test_meshvideo_from_run_dir(tmp_path):
     assert out is not None and os.path.exists(out)
     assert os.path.getsize(out) > 1000
     assert len(list((run / "video_frames").glob("*.png"))) == 2
+
+
+def test_synthetic_gt_mesh_geometry():
+    """The analytic room GT mesh (Synthetic.gt_mesh) is a closed box at
+    +-half with interior-facing normals and exact surface area — the
+    ground truth for the demo's mesh-eval protocol (run.py wires it when
+    meshing.eval_rec is set and no gt_mesh_path is given)."""
+    from goslam_tpu.config import default_config, update_recursive
+    from goslam_tpu.data.synthetic import Synthetic
+
+    cfg = default_config()
+    update_recursive(cfg, {
+        "data": {"input_folder": "", "output": "", "n_frames": 2,
+                 "room_half_size": 2.5},
+        "cam": {"H": 32, "W": 48, "H_out": 32, "W_out": 48,
+                "H_edge": 0, "W_edge": 0}})
+    v, t = Synthetic(cfg).gt_mesh()
+
+    assert t.min() >= 0 and t.max() < len(v)
+    assert np.allclose(np.abs(v).max(axis=1), 2.5)
+    e1 = v[t[:, 1]] - v[t[:, 0]]
+    e2 = v[t[:, 2]] - v[t[:, 0]]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1).sum()
+    assert abs(area - 6 * 5.0 ** 2) < 1e-3
+    n = np.cross(e1, e2)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    c = v[t].mean(axis=1)
+    assert (np.abs(c + 0.1 * n).max(axis=1) < 2.5).all(), \
+        "triangles must face the room interior"
+    # a perfect est mesh scores at the protocol's sampling floor: two
+    # independent 50k samplings of this 150 m^2 surface have ~2-3 cm
+    # typical nearest-neighbor spacing (0.5/sqrt(density))
+    res = M.eval_mesh(v, t, v, t, n_points=50000)
+    assert res["accuracy_cm"] < 5.0 and res["f_score"] > 90.0

@@ -25,6 +25,10 @@ def demo_cfg(**over):
         "tracking": {
             "buffer": 32, "warmup": 4, "upsample": False,
             "motion_filter": {"thresh": -1.0},
+            # 64x96 tracked depth is coarse: the reference's 1 cm
+            # depth-agreement threshold would reject everything, and the
+            # multiview filter would never publish a bound for mapping
+            "multiview_filter": {"thresh": 0.25},
             "frontend": {"window": 6, "max_factors": 24,
                          "enable_loop": False, "keyframe_thresh": 0.0},
             "global_ba_every": 0,
@@ -44,10 +48,11 @@ def params():
 
 
 def test_full_pipeline_smoke(params, tmp_path):
-    """Tracking + multiview filter + mapping + terminate on synthetic
-    RGB-D; artifacts written, everything finite."""
+    """Tracking + multiview filter + mapping + mesh eval + terminate on
+    synthetic RGB-D; artifacts written, everything finite."""
     cfg = demo_cfg()
     cfg["data"]["output"] = str(tmp_path)
+    cfg["meshing"]["eval_rec"] = True
     ds = Synthetic(cfg)
     slam = SLAMSystem(cfg, params=params, output=str(tmp_path))
 
@@ -65,11 +70,22 @@ def test_full_pipeline_smoke(params, tmp_path):
             idx, img, depth, intr, gt = ds[i]
             yield float(i), img, depth, intr, gt
 
-    metrics = slam.terminate(stream=stream())
+    # the analytic GT room mesh closes the mesh-eval loop
+    # (accuracy/completion/F-score protocol, reference mesher.py:390-421)
+    from goslam_tpu.mapping import mesher as M
+    gv, gt_tris = ds.gt_mesh()
+    gt_path = str(tmp_path / "gt_mesh.ply")
+    M.save_ply(gt_path, gv, gt_tris)
+
+    metrics = slam.terminate(stream=stream(), eval_mesh_path=gt_path)
     assert "ate" in metrics
     assert os.path.exists(tmp_path / "est_poses.npy")
     assert os.path.exists(tmp_path / "metrics_traj.txt")
     assert os.path.exists(tmp_path / "go.ckpt")
+    mesh_metrics = json.load(open(tmp_path / "metrics_mesh.txt"))
+    assert np.isfinite(mesh_metrics["accuracy_cm"])
+    assert np.isfinite(mesh_metrics["completion_cm"])
+    assert 0 <= mesh_metrics["f_score"] <= 100
     # trajectory covers every input frame
     poses = np.load(tmp_path / "est_poses.npy")
     assert poses.shape == (len(ds), 4, 4)
