@@ -20,7 +20,11 @@ pytestmark = pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(CKPT),
                     reason="train checkpoints/droid_synthetic.ckpt first "
                            "(scripts/train_synthetic.py)")
-def test_e2e_ate_with_trained_weights(tmp_path):
+# gate BOTH the design-regime resolution and the ScanNet tracking
+# geometry the FPS bench uses (240x320, configs/ScanNet/scannet.yaml)
+@pytest.mark.parametrize("ht,wd,gate", [(128, 192, 0.18),
+                                        (240, 320, 0.16)])
+def test_e2e_ate_with_trained_weights(tmp_path, ht, wd, gate):
     from goslam_tpu.config import default_config, update_recursive
     from goslam_tpu.data.synthetic import Synthetic
     from goslam_tpu.system import SLAMSystem, load_pretrained
@@ -35,7 +39,7 @@ def test_e2e_ate_with_trained_weights(tmp_path):
     # with a checkpoint trained at the same scale.
     update_recursive(cfg, {
         "dataset": "synthetic", "mode": "rgbd",
-        "cam": {"H": 128, "W": 192, "H_out": 128, "W_out": 192,
+        "cam": {"H": ht, "W": wd, "H_out": ht, "W_out": wd,
                 "H_edge": 0, "W_edge": 0},
         "data": {"input_folder": "", "n_frames": 40, "output": "",
                  "room_half_size": 3.0},
@@ -68,15 +72,18 @@ def test_e2e_ate_with_trained_weights(tmp_path):
     ate = metrics["ate"]["rmse"]
     print(f"trained-checkpoint ATE rmse: {ate:.4f} m "
           f"(scale {metrics['ate']['scale']:.3f})")
-    # Regression bound at the round-2 achieved level (0.148 m on this
-    # scene; random weights ~0.6 m). The remaining gap to the
-    # reference's centimeter ATE is *net quality*, not machinery: with
-    # ground-truth flow targets injected, this exact pipeline tracks the
-    # scene at 0.023 m mean error / scale 0.99 (round-2 oracle run). The
-    # from-scratch synthetic-domain net carries a ~0.1-0.2 px systematic
-    # flow bias at converged states, and each of the ~6 update
-    # iterations per keyframe integrates it (bias/fx8 * depth per
-    # iteration). Closing that needs DROID-scale training data
+    # Regression bound at the round-3 achieved level (0.128 m on this
+    # scene with the 20k-step curriculum checkpoint; round 2: 0.148 m;
+    # random weights ~0.6 m). The remaining gap to the reference's
+    # centimeter ATE is *net quality*, not machinery: with ground-truth
+    # flow targets injected, this exact pipeline tracks the scene at
+    # 0.023 m mean error / scale 0.99 (round-2 oracle run). Probed
+    # structure of the residual (round 3, /tmp-probe at GT state): the
+    # from-scratch net's weighted flow bias grows with edge baseline
+    # (0.15 px at 1-frame separation -> 0.47 px at 8) and its confidence
+    # weights are globally small (~0.01-0.02), so the photometric term
+    # converges slowly against damping and per-keyframe residuals
+    # integrate into drift. Closing that needs DROID-scale training data
     # (TartanAir) — unavailable here (zero egress); models/convert.py
     # stands ready for droid.pth.
-    assert ate < 0.25, f"ATE {ate} regressed for trained weights"
+    assert ate < gate, f"ATE {ate} regressed for trained weights"
