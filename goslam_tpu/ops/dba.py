@@ -337,8 +337,14 @@ def _ba_impl(poses, disps, intrinsics, disps_sens, target, weight, eta,
 
     if fused is None:
         # the Pallas build runs on TPU; CPU (tests, virtual meshes) uses
-        # the XLA expression
-        fused = jax.default_backend() == "tpu"
+        # the XLA expression.  GOSLAM_FUSED=0 forces the XLA path even on
+        # TPU — the bench's escape hatch if a Mosaic lowering regresses
+        # (resolved at trace time: `fused` is a static argname, and a
+        # failed compile is never cached, so flipping the env var and
+        # re-calling re-traces with the new value).
+        import os
+        fused = (jax.default_backend() == "tpu"
+                 and os.environ.get("GOSLAM_FUSED", "1") != "0")
 
     # Pallas Schur matvec (CG path): sort edges by source frame once so
     # each frame-block's Eij rows form one contiguous DMA slab; the
