@@ -50,6 +50,12 @@ def default_config() -> dict:
             "buffer": 512,
             "beta": 0.75,
             "warmup": 8,
+            # confidence calibration applied to the update net's BA
+            # weights (factor_graph._weight_calib); 1.0 = the net's raw
+            # sigmoid output (reference behavior with pretrained
+            # droid.pth).  Synthetic-trained checkpoints document their
+            # validated value in the scene config.
+            "weight_calib": 1.0,
             "upsample": True,
             "motion_filter": {"thresh": 4.0},
             "multiview_filter": {

@@ -91,6 +91,11 @@ class SLAMSystem:
                 params = load_pretrained(pre)
             else:
                 params = init_params(ht=cam["H_out"], wd=cam["W_out"])
+        # weight_calib rides the params pytree into every jitted update
+        # kernel (see factor_graph._weight_calib)
+        params = dict(params)
+        params["weight_calib"] = jnp.asarray(
+            float(tr.get("weight_calib", 1.0)), jnp.float32)
         self.params = params
 
         # Multi-chip scale-out (SURVEY §2.8 target design): when more than

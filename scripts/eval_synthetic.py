@@ -18,7 +18,8 @@ import numpy as np
 
 
 def evaluate(ckpt: str, ht: int, wd: int, n_frames: int = 40,
-             window: int = 8, max_factors: int = 32):
+             window: int = 8, max_factors: int = 32,
+             weight_calib: float = 1.0):
     import jax
     from goslam_tpu.config import default_config, update_recursive
     from goslam_tpu.data.synthetic import Synthetic
@@ -38,6 +39,7 @@ def evaluate(ckpt: str, ht: int, wd: int, n_frames: int = 40,
         "tracking": {
             "buffer": 64, "warmup": 4,
             "motion_filter": {"thresh": 2.0},
+            "weight_calib": weight_calib,
             "frontend": {"window": window, "max_factors": max_factors,
                          "enable_loop": False, "keyframe_thresh": 1.0},
             "global_ba_every": 10,
@@ -58,7 +60,7 @@ def evaluate(ckpt: str, ht: int, wd: int, n_frames: int = 40,
 
     metrics = slam.terminate(stream=stream())
     ate = metrics["ate"]
-    print(f"[{ht}x{wd} w={window} mf={max_factors}] "
+    print(f"[{ht}x{wd} w={window} mf={max_factors} wc={weight_calib}] "
           f"ATE rmse {ate['rmse']:.4f} m  mean {ate['mean']:.4f}  "
           f"scale {ate['scale']:.3f}  kf={slam.video.counter}", flush=True)
     return ate
@@ -71,11 +73,14 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--max_factors", type=int, default=32)
+    ap.add_argument("--weight_calib", type=float, nargs="+", default=[1.0])
     args = ap.parse_args()
     for res in args.res:
         ht, wd = (int(x) for x in res.split("x"))
-        evaluate(args.ckpt, ht, wd, n_frames=args.frames,
-                 window=args.window, max_factors=args.max_factors)
+        for wc in args.weight_calib:
+            evaluate(args.ckpt, ht, wd, n_frames=args.frames,
+                     window=args.window, max_factors=args.max_factors,
+                     weight_calib=wc)
 
 
 if __name__ == "__main__":

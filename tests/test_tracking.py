@@ -130,3 +130,31 @@ def test_factor_graph_bookkeeping(params):
     g.rm_keyframe(2)
     assert v.counter == 5
     assert (g.jj[g.valid] <= 3).all()
+
+
+def test_weight_calib_scales_ba_weights(params):
+    """cfg tracking.weight_calib rides the params pytree into the jitted
+    update kernels and rescales the net's BA confidence weights
+    (factor_graph._weight_calib)."""
+    import copy
+
+    means = {}
+    for calib in (1.0, 8.0):
+        cfg = tiny_cfg()
+        cfg["tracking"]["weight_calib"] = calib
+        slam = SLAMSystem(cfg, params=params)
+        frames = synth_frames(np.random.default_rng(0), 8)
+        intr = np.asarray([80.0, 80.0, WD / 2, HT / 2], np.float32)
+        for k, img in enumerate(frames):
+            slam.track(float(k), img, depth=None, intrinsics=intr)
+        slam.flush()
+        g = slam.frontend.graph
+        w = np.asarray(g.weight)[np.asarray(g.valid)]
+        assert np.isfinite(w).all()
+        poses = np.asarray(slam.video.poses[:slam.video.counter])
+        assert np.isfinite(poses).all()
+        means[calib] = float(w.mean())
+
+    # not exactly 8x (BA feeds back into later GRU steps) but the scale
+    # must carry through
+    assert means[8.0] > 3.0 * means[1.0], means
