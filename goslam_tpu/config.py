@@ -18,6 +18,14 @@ def default_config() -> dict:
         "dataset": "",
         "mode": "mono",
         "stride": 1,
+        # multi-chip scale-out (SURVEY §2.8): when True and >1 device is
+        # visible, global/loop BA shards its edge work and the mapper its
+        # ray batches over the device mesh.  False pins the run to one
+        # device — useful on shared pods, and for virtual CPU meshes
+        # (xla_force_host_platform_device_count) where XLA:CPU's 40 s
+        # collective-rendezvous watchdog aborts long sharded steps that
+        # time-slice 8 device threads onto fewer physical cores.
+        "multichip": True,
         "only_tracking": False,
         "mapping": {
             "BA": False,

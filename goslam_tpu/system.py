@@ -104,7 +104,7 @@ class SLAMSystem:
         # stays single-device — it is latency-bound, not FLOP-bound).
         self.mesh = None
         devs = jax.devices()
-        if len(devs) > 1:
+        if len(devs) > 1 and self.cfg.get("multichip", True):
             from jax.sharding import Mesh
             self.mesh = Mesh(np.asarray(devs), ("edges",))
 

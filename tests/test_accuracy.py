@@ -39,6 +39,10 @@ def test_e2e_ate_with_trained_weights(tmp_path, ht, wd, gate):
     # with a checkpoint trained at the same scale.
     update_recursive(cfg, {
         "dataset": "synthetic", "mode": "rgbd",
+        # the gated number is a single-device measurement (on a virtual
+        # CPU mesh the sharded global BA also risks XLA:CPU's 40 s
+        # collective watchdog; parity is covered by test_parallel.py)
+        "multichip": False,
         "cam": {"H": ht, "W": wd, "H_out": ht, "W_out": wd,
                 "H_edge": 0, "W_edge": 0},
         "data": {"input_folder": "", "n_frames": 40, "output": "",
