@@ -245,66 +245,133 @@ def bench_tracked_fps(n_frames: int = 120, warmup: int = 24):
     return (n_frames - warmup) / dt
 
 
+# ---------------------------------------------------------------------
+# Driver contract: ONE JSON line on stdout, within the driver's time
+# budget, no matter which sub-benches fit.  BENCH_r03 produced NOTHING
+# (rc=124): the round-3 e2e trigger compiled+executed for longer than
+# the budget and the JSON print lived after it.  Results are now
+# accumulated as each stage lands and a watchdog THREAD (survives a
+# main thread blocked inside a C call, unlike SIGALRM) emits whatever
+# is banked before the driver's timeout can hit.
+
+RESULTS: dict = {}
+_EMITTED = False
+
+
+def emit_and_exit(code=0):
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    baseline = 1.0  # BASELINE.md: 2k keyframes < 1 s per trigger
+    out = {}
+    if "e2e_seconds" in RESULTS:
+        out["metric"] = ("full_BA_trigger_e2e_seconds_2048kf_"
+                         f"{RESULTS.get('e2e_edges', 0)}edges")
+        out["value"] = round(RESULTS["e2e_seconds"], 4)
+        out["unit"] = "s"
+        out["vs_baseline"] = round(baseline / RESULTS["e2e_seconds"], 3)
+        if "solver_seconds" in RESULTS:
+            out["solver_only_seconds"] = round(RESULTS["solver_seconds"], 4)
+    elif "solver_seconds" in RESULTS:
+        out["metric"] = "full_BA_solver_seconds_2048kf_12276edges"
+        out["value"] = round(RESULTS["solver_seconds"], 4)
+        out["unit"] = "s"
+        out["vs_baseline"] = round(baseline / RESULTS["solver_seconds"], 3)
+        out["e2e_trigger"] = RESULTS.get("e2e_status", "not_measured")
+    else:
+        out["metric"] = "bench_incomplete"
+        out["value"] = 0
+        out["unit"] = "s"
+        out["vs_baseline"] = 0.0
+    for k in ("degraded", "kernel_path"):
+        if k in RESULTS:
+            out[k] = RESULTS[k]
+    if "rays" in RESULTS:
+        out["render_rays_per_sec"] = round(RESULTS["rays"], 1)
+    if "fps" in RESULTS:
+        out["tracked_fps"] = round(RESULTS["fps"], 2)
+        out["tracked_fps_vs_target30"] = round(RESULTS["fps"] / 30.0, 3)
+    out["stages_completed"] = RESULTS.get("stages", [])
+    print(json.dumps(out), flush=True)
+    if code is not None:
+        os._exit(code)
+
+
 def main():
+    import threading
     import jax
+
+    budget = float(os.environ.get("GOSLAM_BENCH_BUDGET", "480"))
+    t_start = time.time()
+    watchdog = threading.Timer(budget, emit_and_exit)
+    watchdog.daemon = True
+    watchdog.start()
+
+    def left():
+        return budget - (time.time() - t_start)
+
+    # TPU executables cache fine across runs on the same host+libtpu;
+    # unlike the CPU AOT case this never crosses machines within a run.
     cache = os.path.expanduser("~/.jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    degraded = None
-    try:
-        edges_e2e, secs_e2e = bench_full_trigger()
-    except Exception as e:  # noqa: BLE001 — retry without Pallas kernels
-        # A Mosaic lowering/VMEM regression must not zero out the whole
-        # bench: fall back to the XLA expressions (slower, same math) and
-        # say so in the output.
-        print(f"WARN fused trigger failed ({type(e).__name__}: {e}); "
-              f"retrying with GOSLAM_FUSED=0", file=sys.stderr)
-        os.environ["GOSLAM_FUSED"] = "0"
-        degraded = "xla_fallback"
-        edges_e2e, secs_e2e = bench_full_trigger()
-
+    # Stage 1 — solver-only full BA at 2048 kf (guaranteed headline
+    # fallback; the round-2 measurement, known to fit the budget).
     try:
         P, E, secs_solver = bench_full_ba()
-    except Exception as e:  # noqa: BLE001 — secondary metric
+        RESULTS["solver_seconds"] = secs_solver
+        RESULTS.setdefault("stages", []).append("solver")
+        print(f"[{time.time()-t_start:.0f}s] solver {secs_solver:.3f}s",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
         print(f"WARN solver-only bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
-        P, E, secs_solver = 2048, 0, None
 
+    # Stage 2 — render rays/sec (small programs, quick).
     try:
         rays = bench_render_rays()
-    except Exception as e:  # noqa: BLE001 — auxiliary
+        RESULTS["rays"] = rays
+        RESULTS.setdefault("stages", []).append("rays")
+        print(f"[{time.time()-t_start:.0f}s] rays {rays:.0f}/s",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
         print(f"WARN render-rays bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
-        rays = None
 
+    # Stage 3 — tracked FPS.
     try:
-        # two passes: the first absorbs jit compiles + tunnel warmup, the
-        # second measures the steady state a long-running SLAM session sees
-        bench_tracked_fps(n_frames=60, warmup=24)
-        fps = bench_tracked_fps()
-    except Exception as e:  # noqa: BLE001 — FPS is auxiliary
+        if left() > 150:
+            bench_tracked_fps(n_frames=60, warmup=24)  # compile pass
+            fps = bench_tracked_fps()
+            RESULTS["fps"] = fps
+            RESULTS.setdefault("stages", []).append("fps")
+            print(f"[{time.time()-t_start:.0f}s] fps {fps:.1f}",
+                  file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
         print(f"WARN tracked-FPS bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
-        fps = None
 
-    baseline = 1.0  # BASELINE.md: 2k keyframes < 1 s per trigger
-    out = {
-        "metric": f"full_BA_trigger_e2e_seconds_2048kf_{edges_e2e}edges",
-        "value": round(secs_e2e, 4),
-        "unit": "s",
-        "vs_baseline": round(baseline / secs_e2e, 3),
-    }
-    if degraded is not None:
-        out["degraded"] = degraded
-    if secs_solver is not None:
-        out["solver_only_seconds"] = round(secs_solver, 4)
-    if rays is not None:
-        out["render_rays_per_sec"] = round(rays, 1)
-    if fps is not None:
-        out["tracked_fps"] = round(fps, 2)
-        out["tracked_fps_vs_target30"] = round(fps / 30.0, 3)
-    print(json.dumps(out))
+    # Stage 4 — the honest e2e trigger (edge proposal + alt-corr + GRU +
+    # BA).  Most expensive compile+run; attempted last so a blowup can
+    # only cost the headline upgrade, never the whole bench.
+    try:
+        if left() > 180:
+            edges_e2e, secs_e2e = bench_full_trigger()
+            RESULTS["e2e_seconds"] = secs_e2e
+            RESULTS["e2e_edges"] = edges_e2e
+            RESULTS.setdefault("stages", []).append("e2e_trigger")
+            print(f"[{time.time()-t_start:.0f}s] e2e {secs_e2e:.3f}s",
+                  file=sys.stderr)
+        else:
+            RESULTS["e2e_status"] = "skipped_budget"
+    except Exception as e:  # noqa: BLE001
+        RESULTS["e2e_status"] = f"failed: {type(e).__name__}"
+        print(f"WARN e2e trigger failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    emit_and_exit(0)
 
 
 if __name__ == "__main__":

@@ -72,13 +72,36 @@ def build_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
     return CorrPyramid(levels)
 
 
-def _window_gather(vol: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
-                   radius: int) -> jnp.ndarray:
-    """Gather the (2r+2)x(2r+2) integer window at (y0-r.., x0-r..) per pixel.
+def _window_gather_mxu(vol: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
+                       radius: int) -> jnp.ndarray:
+    """Window extraction as two one-hot contractions (gather-as-matmul).
 
-    vol: [E, P1, H2, W2]; x0/y0: [E, P1] int32 floor coords.
-    Returns [E, P1, 2r+2, 2r+2] fp32 with zeros out of bounds.
+    TPU minor-axis gathers serialize to scalar loads — the
+    take_along_axis form cost ~10.7 s per composed 1538-edge lowmem
+    step on a v5e; this form 0.97 s (floor 0.33 s with correlation
+    stubbed). The 0/1 selector entries are exact in bf16, every output
+    tap has exactly one nonzero product, and accumulation is fp32, so
+    this is numerically identical to the gather. Out-of-window rows and
+    columns fall outside the iota range and naturally contribute zero —
+    the CUDA kernel's zero-OOB semantics (correlation_kernels.cu:52).
     """
+    E, P1, H2, W2 = vol.shape
+    S = 2 * radius + 2
+    ay = y0[..., None] - radius + jnp.arange(S)                 # [E,P1,S]
+    ax = x0[..., None] - radius + jnp.arange(S)
+    oh_y = (ay[..., None] == jnp.arange(H2)).astype(jnp.bfloat16)
+    oh_x = (ax[..., None] == jnp.arange(W2)).astype(jnp.bfloat16)
+    rows = jnp.einsum("epsh,ephw->epsw", oh_y, vol.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    taps = jnp.einsum("epsw,eptw->epst", rows.astype(jnp.bfloat16), oh_x,
+                      preferred_element_type=jnp.float32)
+    return taps
+
+
+def _window_gather_taa(vol: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
+                       radius: int) -> jnp.ndarray:
+    """Window extraction as a flat take_along_axis — XLA:CPU lowers this
+    to tight scalar loops, faster there than 307k tiny matmuls."""
     E, P1, H2, W2 = vol.shape
     S = 2 * radius + 2
     vf = vol.reshape(E * P1, H2 * W2)
@@ -90,6 +113,24 @@ def _window_gather(vol: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
 
     taps = jnp.take_along_axis(vf, idx, axis=1).reshape(E, P1, S, S)
     return jnp.where(inb, taps.astype(jnp.float32), 0.0)
+
+
+def _window_gather(vol: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
+                   radius: int) -> jnp.ndarray:
+    """Gather the (2r+2)x(2r+2) integer window at (y0-r.., x0-r..) per pixel.
+
+    vol: [E, P1, H2, W2]; x0/y0: [E, P1] int32 floor coords.
+    Returns [E, P1, 2r+2, 2r+2] fp32 with zeros out of bounds.
+
+    Two equivalent lowerings, picked per backend at trace time (override
+    with GOSLAM_GATHER=mxu|taa; parity-tested in tests/test_corr.py).
+    """
+    import os
+    mode = os.environ.get("GOSLAM_GATHER", "")
+    if not mode:
+        mode = "mxu" if jax.default_backend() == "tpu" else "taa"
+    fn = _window_gather_mxu if mode == "mxu" else _window_gather_taa
+    return fn(vol, x0, y0, radius)
 
 
 def _bilinear_window(taps: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
@@ -126,6 +167,54 @@ def lookup(pyramid: CorrPyramid, coords: jnp.ndarray,
         dy = c[..., 1] - y0
         taps = _window_gather(vol, x0.astype(jnp.int32), y0.astype(jnp.int32),
                               radius)
+        out.append(_bilinear_window(taps, dx, dy, radius))
+    return jnp.concatenate(out, axis=-1).reshape(E, h1, w1, -1)
+
+
+def alt_corr_mxu(pyramid: "FeaturePyramid", coords: jnp.ndarray,
+                 ii: jnp.ndarray, jj: jnp.ndarray,
+                 radius: int = RADIUS) -> jnp.ndarray:
+    """alt_corr with the dot product hoisted BEFORE the gather.
+
+    Mathematically identical to alt_corr (average-pooling the target
+    features commutes with the dot product, so the per-level volume
+    f1 . f2_l equals the pooled volume), but maps onto the TPU the
+    right way round: the [E, P1, Q_l] correlation volume is ONE batched
+    matmul on the MXU, and the window sampling pulls 64 scalars per
+    pixel from it (via _window_gather's one-hot contractions) instead
+    of 64 C-vector taps.  Measured on a v5e, one composed lowmem step
+    (256 keyframes, 1538 edges, 7 GRU chunks): alt_corr's per-tap
+    channel gathers 5.9 s; this volume with take_along_axis window
+    sampling 10.7 s (minor-axis gathers serialize); this volume with
+    the one-hot-matmul window sampling 0.97 s — against a 0.33 s floor
+    with correlation stubbed out entirely.  The volume is a per-chunk
+    transient (~0.7 GB bf16 at chunk 256), so the AltCorrBlock memory
+    story is preserved: nothing of O(E_total * P1 * Q) ever exists.
+    """
+    E, h1, w1, _ = coords.shape
+    P1 = h1 * w1
+    f1 = pyramid.levels[0][ii].reshape(E, P1, -1)
+
+    out = []
+    for lvl, flvl in enumerate(pyramid.levels):
+        T, H2, W2, C = flvl.shape
+        f2 = flvl[jj].reshape(E, H2 * W2, C)
+        vol = jnp.einsum("epc,eqc->epq", f1, f2,
+                         preferred_element_type=jnp.float32)
+        vol = vol.reshape(E, P1, H2, W2).astype(jnp.bfloat16)
+        # force materialization: without the barrier XLA fuses the
+        # volume matmul (and the f2 frame-gather behind it) into the
+        # 64-tap window gather and RECOMPUTES it per tap — measured
+        # 10.6 s/step instead of ~0.4 s on a v5e lowmem step
+        vol = jax.lax.optimization_barrier(vol)
+
+        c = coords.reshape(E, P1, 2) / (2 ** lvl)
+        x0 = jnp.floor(c[..., 0])
+        y0 = jnp.floor(c[..., 1])
+        dx = c[..., 0] - x0
+        dy = c[..., 1] - y0
+        taps = _window_gather(vol, x0.astype(jnp.int32),
+                              y0.astype(jnp.int32), radius)
         out.append(_bilinear_window(taps, dx, dy, radius))
     return jnp.concatenate(out, axis=-1).reshape(E, h1, w1, -1)
 

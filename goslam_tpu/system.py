@@ -41,10 +41,18 @@ from .tracking.video import VideoBuffer
 def init_params(seed: int = 0, ht: int = 64, wd: int = 96):
     """Random-initialized DroidNet params.  For pretrained tracking load a
     converted droid.pth or a trained synthetic checkpoint via
-    load_pretrained (see goslam_tpu/train)."""
+    load_pretrained (see goslam_tpu/train).
+
+    DroidNet is fully convolutional: the param tree is identical at any
+    trace resolution, so init always traces at a small one — compiling
+    the init program at 240x320 costs ~140 s on a tunneled v5e while
+    64x96 is seconds (ht/wd are kept in the signature for callers that
+    pass them; they do not change the result).
+    """
+    del ht, wd
     model = DroidNet(num_frames=8)
     rng = jax.random.PRNGKey(seed)
-    img = jnp.zeros((1, ht, wd, 3), jnp.float32)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
     variables = model.init(rng, img)
     return variables["params"]
 

@@ -553,7 +553,7 @@ def _gru_chunk_scan(update_op, params, fpyr, inps_v, coords1, motion,
 
     def body(carry, ch):
         coords_ch, motion_ch, net_ch, ii_ch, iir_ch, jjr_ch, ok_ch = ch
-        corr_feat = corr.alt_corr(fpyr, coords_ch, iir_ch, jjr_ch)
+        corr_feat = corr.alt_corr_mxu(fpyr, coords_ch, iir_ch, jjr_ch)
         ii_loc = jnp.clip(ii_ch - base, 0, P - 1)
         net_c, delta_c, w_c, eta_c, _, has_c = update_op.apply(
             {"params": params["update"]},
@@ -711,7 +711,7 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, Tb, params,
         coords_ch, _ = projective.transform(poses, disps, intrinsics,
                                             ii_ch, jj_ch)
         motion_ch = _motion_features(coords_ch, tgt_ch, h8, w8)
-        corr_feat = corr.alt_corr(fpyr, coords_ch, iir_ch, jjr_ch)
+        corr_feat = corr.alt_corr_mxu(fpyr, coords_ch, iir_ch, jjr_ch)
         ii_loc = jnp.clip(ii_ch - base, 0, P - 1)
         net_c, delta_c, w_c, eta_c, _, has_c = update_op.apply(
             {"params": params["update"]},

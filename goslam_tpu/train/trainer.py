@@ -83,6 +83,10 @@ class TrainConfig:
     # its own compiled train step; fx scales with W so the px/rad gain
     # differs — exactly what the runtime sees across datasets)
     multires: tuple = ()
+    # wide-baseline pairs added to the dense |i-j|<=radius graph (see
+    # _edges): the backend/loop-closer propose edges at separations the
+    # frontend window never sees
+    long_skips: tuple = (4, 6)
 
 
 def _texture_rand(p, ph):
@@ -187,10 +191,26 @@ def make_scene(seed: int, cfg: TrainConfig):
     return images, poses_w2c, disps_gt, intr8
 
 
-def _edges(n: int, radius: int):
+def _edges(n: int, radius: int, long_skips: tuple = ()):
+    """Dense |i-j| <= radius edges plus symmetric long-skip pairs.
+
+    The runtime's backend proposes proximity edges at separations far
+    beyond the frontend window (dense BA radius+2 neighbors, NMS'd
+    distance pairs, loop edges at arbitrary separation — backend.py
+    25-99).  A net trained only on |i-j| <= 2 carries a flow bias that
+    GROWS with baseline (measured round 3: 0.15 px at 1-frame
+    separation -> 0.47 px at 8); the long skips put those pairs in the
+    training distribution.
+    """
     ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
     keep = (ii != jj) & (np.abs(ii - jj) <= radius)
-    return ii[keep].astype(np.int32), jj[keep].astype(np.int32)
+    pairs = {(int(a), int(b)) for a, b in zip(ii[keep], jj[keep])}
+    for s in long_skips:
+        for i in range(0, n - s):
+            pairs.add((i, i + s))
+            pairs.add((i + s, i))
+    arr = np.asarray(sorted(pairs), np.int32)
+    return arr[:, 0], arr[:, 1]
 
 
 def _pose_loss(poses, poses_gt):
@@ -203,7 +223,7 @@ def _pose_loss(poses, poses_gt):
 
 def make_train_step(cfg: TrainConfig, model: DroidNet, tx):
     N = cfg.n_frames
-    ii_np, jj_np = _edges(N, cfg.radius)
+    ii_np, jj_np = _edges(N, cfg.radius, cfg.long_skips)
     ii = jnp.asarray(ii_np)
     jj = jnp.asarray(jj_np)
     E = len(ii_np)

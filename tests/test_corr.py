@@ -96,6 +96,43 @@ def test_alt_corr_matches_volume_lookup(rng):
                                rtol=5e-2, atol=5e-2)
 
 
+def test_window_gather_lowerings_agree(rng):
+    """The one-hot-matmul window extraction (TPU lowering) must equal the
+    take_along_axis form (CPU lowering) bit-for-bit up to fp32 rounding:
+    every tap selects exactly one bf16 volume element or zero."""
+    Ep, P1, H2, W2 = 3, 40, 10, 12
+    vol = jnp.asarray(
+        rng.normal(size=(Ep, P1, H2, W2)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    # integer coords straddling the bounds to hit the zero-OOB path
+    y0 = jnp.asarray(rng.integers(-5, H2 + 5, (Ep, P1)), jnp.int32)
+    x0 = jnp.asarray(rng.integers(-5, W2 + 5, (Ep, P1)), jnp.int32)
+    a = corr._window_gather_mxu(vol, x0, y0, radius=3)
+    b = corr._window_gather_taa(vol, x0, y0, radius=3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_alt_corr_mxu_matches_alt_corr(rng):
+    """alt_corr_mxu (volume-first, MXU einsum + scalar window gather) must
+    equal alt_corr (per-tap feature gather + dot): pooling the target
+    features commutes with the dot product, so both compute the same
+    pyramid lookup.  Tolerance covers the bf16 volume rounding."""
+    T = 3
+    fmaps = jnp.asarray(rng.normal(size=(T, H, W, C)).astype(np.float32))
+    ii = jnp.asarray([0, 2])
+    jj = jnp.asarray([1, 0])
+    # mix of interior and out-of-bounds coords to hit the zero-OOB path
+    coords = jnp.asarray(
+        rng.uniform(-2, max(H, W) + 1, size=(E, H, W, 2)).astype(np.float32))
+
+    fp = corr.build_feature_pyramid(fmaps, num_levels=2)
+    out_ref = corr.alt_corr(fp, coords, ii, jj)
+    out_mxu = corr.alt_corr_mxu(fp, coords, ii, jj)
+
+    np.testing.assert_allclose(np.asarray(out_mxu), np.asarray(out_ref),
+                               rtol=5e-2, atol=5e-2)
+
+
 def test_zero_displacement_peak(rng):
     """Looking up a self-correlation at the identity grid: the center tap
     (offset (r, r) -> channel r*7+r) must be the feature-norm peak."""
