@@ -30,21 +30,61 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+_T0 = time.time()
 
-def bench_full_ba():
+
+def _host_poses(P: int, rng, step: float = 0.01) -> np.ndarray:
+    """Smooth random-walk w2c trajectory [P, 7] (t, q-xyzw) in pure numpy
+    — the bench must not compile extra XLA programs (lie.exp / transform)
+    just to build its input state: at driver time the compile cache is
+    cold and those compiles cost ~170 s of the budget."""
+    from scipy.spatial.transform import Rotation
+    rotvec = np.cumsum(step * rng.standard_normal((P, 3)), axis=0)
+    trans = np.cumsum(step * rng.standard_normal((P, 3)), axis=0)
+    q = Rotation.from_rotvec(rotvec).as_quat()
+    return np.concatenate([trans, q], axis=1).astype(np.float32)
+
+
+def _host_targets(poses: np.ndarray, disps: np.ndarray, intr,
+                  ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+    """Numpy mirror of projective.transform (reproject pixels of frames
+    ii into frames jj) for bench input construction — semantics of
+    ops/projective.py:83-102, host-side."""
+    from scipy.spatial.transform import Rotation
+    fx, fy, cx, cy = intr
+    ht, wd = disps.shape[-2:]
+    y, x = np.meshgrid(np.arange(ht, dtype=np.float32),
+                       np.arange(wd, dtype=np.float32), indexing="ij")
+    X0 = np.stack([(x - cx) / fx, (y - cy) / fy, np.ones_like(x)], -1)
+    R = Rotation.from_quat(poses[:, 3:])
+    t = poses[:, :3]
+    Rij = (R[jj] * R[ii].inv()).as_matrix().astype(np.float32)
+    tij = (t[jj] - np.einsum("eab,eb->ea", Rij, t[ii])).astype(np.float32)
+    d = disps[ii]
+    xyz = (np.einsum("eab,hwb->ehwa", Rij, X0)
+           + tij[:, None, None, :] * d[..., None])
+    Z = np.where(xyz[..., 2] < 0.1, 1.0, xyz[..., 2])
+    return np.stack([fx * xyz[..., 0] / Z + cx,
+                     fy * xyz[..., 1] / Z + cy], -1).astype(np.float32)
+
+
+def _mark(s):
+    print(f"[bench {time.time() - _T0:.0f}s] {s}", file=sys.stderr,
+          flush=True)
+
+
+def bench_full_ba(bank=None):
     import jax
     import jax.numpy as jnp
-    from goslam_tpu.ops import dba, lie, projective
+    from goslam_tpu.ops import dba
 
     P, ht, wd = 2048, 30, 40
     radius = 1
     rng = np.random.default_rng(0)
 
-    xi = np.cumsum(0.01 * rng.standard_normal((P, 6)).astype(np.float32),
-                   axis=0)
-    poses = jax.vmap(lie.exp)(jnp.asarray(xi))
-    disps = jnp.asarray(0.4 + 0.2 * rng.random((P, ht, wd)).astype(np.float32))
-    intr = jnp.asarray([72.0, 72.0, wd / 2, ht / 2], jnp.float32)
+    poses_np = _host_poses(P, rng)
+    disps_np = 0.4 + 0.2 * rng.random((P, ht, wd)).astype(np.float32)
+    intr_np = np.asarray([72.0, 72.0, wd / 2, ht / 2], np.float32)
 
     # backend-density edge set: (radius+2)*2 per frame (backend.py:131)
     ii, jj = [], []
@@ -52,15 +92,26 @@ def bench_full_ba():
         for b in range(max(0, a - (radius + 2)), a):
             ii += [a, b]
             jj += [b, a]
-    ii = jnp.asarray(np.asarray(ii, np.int32))
-    jj = jnp.asarray(np.asarray(jj, np.int32))
-    E = ii.shape[0]
+    ii_np = np.asarray(ii, np.int32)
+    jj_np = np.asarray(jj, np.int32)
+    E = len(ii_np)
 
-    target, _ = projective.transform(poses, disps, intr, ii, jj)
-    target = target + 0.5
+    _mark("host state start")
+    target_np = _host_targets(poses_np, disps_np, intr_np, ii_np,
+                              jj_np) + 0.5
+    _mark("host targets done")
+
+    poses = jnp.asarray(poses_np)
+    disps = jnp.asarray(disps_np)
+    intr = jnp.asarray(intr_np)
+    ii = jnp.asarray(ii_np)
+    jj = jnp.asarray(jj_np)
+    target = jnp.asarray(target_np)
     weight = jnp.ones((E, ht, wd, 2), jnp.float32)
     eta = jnp.full((P, ht, wd), 1e-4, jnp.float32)
     valid = jnp.ones((E,), bool)
+    jax.block_until_ready(target)
+    _mark("device state up")
 
     # mirror the runtime's solver + degree-bucket selection
     # (factor_graph._lowmem_step)
@@ -90,6 +141,7 @@ def bench_full_ba():
     out = trigger(poses, disps)
     chk = float(checksum(*out))
     assert np.isfinite(chk), "BA produced non-finite poses"
+    _mark("solver compiled + warm")
 
     def run(k=3):
         """k chained triggers, one sync: throughput per trigger."""
@@ -100,18 +152,21 @@ def bench_full_ba():
         float(checksum(p, d))
         return (time.time() - t0) / k
 
-    run(1)  # second warmup (checksum compile)
+    # bank the first honest measurement IMMEDIATELY (the watchdog may
+    # fire during the refinement passes at driver time), then refine
+    t_first = run(1)  # second warmup (checksum compile) + first timing
+    if bank is not None:
+        bank(t_first)
     times = [run() for _ in range(3)]
     return P, E, float(np.median(times))
 
 
 def bench_full_trigger(P: int = 2048, ht: int = 30, wd: int = 40,
-                       steps: int = 6):
+                       steps: int = 6, bank=None):
     """End-to-end Backend.dense_ba over a populated VideoBuffer."""
     import jax
     import jax.numpy as jnp
     from goslam_tpu.config import default_config
-    from goslam_tpu.ops import lie
     from goslam_tpu.system import init_params
     from goslam_tpu.tracking.backend import Backend
     from goslam_tpu.tracking.video import VideoBuffer
@@ -125,9 +180,7 @@ def bench_full_trigger(P: int = 2048, ht: int = 30, wd: int = 40,
                  "mask_filtered"):
         setattr(video, name, jnp.zeros((1,), jnp.float32))
 
-    xi = np.cumsum(0.004 * rng.standard_normal((P, 6)).astype(np.float32),
-                   axis=0)
-    video.poses = jax.vmap(lie.exp)(jnp.asarray(xi))
+    video.poses = jnp.asarray(_host_poses(P, rng, step=0.004))
     video.disps = jnp.asarray(
         0.4 + 0.2 * rng.random((P, ht, wd)).astype(np.float32))
     video.intrinsics = jnp.asarray([36.0, 36.0, wd / 2, ht / 2],
@@ -159,6 +212,8 @@ def bench_full_trigger(P: int = 2048, ht: int = 30, wd: int = 40,
     t0 = time.time()
     trigger()
     dt1 = time.time() - t0     # steady state
+    if bank is not None:
+        bank(edges, dt1)
     t0 = time.time()
     trigger()
     dt2 = time.time() - t0
@@ -302,7 +357,7 @@ def main():
     import threading
     import jax
 
-    budget = float(os.environ.get("GOSLAM_BENCH_BUDGET", "480"))
+    budget = float(os.environ.get("GOSLAM_BENCH_BUDGET", "420"))
     t_start = time.time()
     watchdog = threading.Timer(budget, emit_and_exit)
     watchdog.daemon = True
@@ -320,7 +375,12 @@ def main():
     # Stage 1 — solver-only full BA at 2048 kf (guaranteed headline
     # fallback; the round-2 measurement, known to fit the budget).
     try:
-        P, E, secs_solver = bench_full_ba()
+        def bank_first(t):
+            RESULTS["solver_seconds"] = t
+            RESULTS.setdefault("stages", []).append("solver_first")
+            print(f"[{time.time()-t_start:.0f}s] solver(first) {t:.3f}s",
+                  file=sys.stderr)
+        P, E, secs_solver = bench_full_ba(bank=bank_first)
         RESULTS["solver_seconds"] = secs_solver
         RESULTS.setdefault("stages", []).append("solver")
         print(f"[{time.time()-t_start:.0f}s] solver {secs_solver:.3f}s",
@@ -329,36 +389,20 @@ def main():
         print(f"WARN solver-only bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
-    # Stage 2 — render rays/sec (small programs, quick).
-    try:
-        rays = bench_render_rays()
-        RESULTS["rays"] = rays
-        RESULTS.setdefault("stages", []).append("rays")
-        print(f"[{time.time()-t_start:.0f}s] rays {rays:.0f}/s",
-              file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"WARN render-rays bench failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-
-    # Stage 3 — tracked FPS.
+    # Stage 2 — the honest e2e trigger (edge proposal + alt-corr + GRU +
+    # BA): the headline metric, run right after its guaranteed fallback
+    # so a cold driver-time cache spends the budget here, not on the
+    # auxiliary stages.  First steady-state timing is banked before the
+    # refinement pass.
     try:
         if left() > 150:
-            bench_tracked_fps(n_frames=60, warmup=24)  # compile pass
-            fps = bench_tracked_fps()
-            RESULTS["fps"] = fps
-            RESULTS.setdefault("stages", []).append("fps")
-            print(f"[{time.time()-t_start:.0f}s] fps {fps:.1f}",
-                  file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"WARN tracked-FPS bench failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-
-    # Stage 4 — the honest e2e trigger (edge proposal + alt-corr + GRU +
-    # BA).  Most expensive compile+run; attempted last so a blowup can
-    # only cost the headline upgrade, never the whole bench.
-    try:
-        if left() > 180:
-            edges_e2e, secs_e2e = bench_full_trigger()
+            def bank_e2e(edges, t):
+                RESULTS["e2e_seconds"] = t
+                RESULTS["e2e_edges"] = edges
+                RESULTS.setdefault("stages", []).append("e2e_first")
+                print(f"[{time.time()-t_start:.0f}s] e2e(first) {t:.3f}s",
+                      file=sys.stderr)
+            edges_e2e, secs_e2e = bench_full_trigger(bank=bank_e2e)
             RESULTS["e2e_seconds"] = secs_e2e
             RESULTS["e2e_edges"] = edges_e2e
             RESULTS.setdefault("stages", []).append("e2e_trigger")
@@ -369,6 +413,32 @@ def main():
     except Exception as e:  # noqa: BLE001
         RESULTS["e2e_status"] = f"failed: {type(e).__name__}"
         print(f"WARN e2e trigger failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # Stage 3 — render rays/sec (small programs, quick).
+    try:
+        if left() > 90:
+            rays = bench_render_rays()
+            RESULTS["rays"] = rays
+            RESULTS.setdefault("stages", []).append("rays")
+            print(f"[{time.time()-t_start:.0f}s] rays {rays:.0f}/s",
+                  file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"WARN render-rays bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # Stage 4 — tracked FPS (compiles a dozen small programs; only
+    # attempted when plenty of budget remains).
+    try:
+        if left() > 150:
+            bench_tracked_fps(n_frames=60, warmup=24)  # compile pass
+            fps = bench_tracked_fps()
+            RESULTS["fps"] = fps
+            RESULTS.setdefault("stages", []).append("fps")
+            print(f"[{time.time()-t_start:.0f}s] fps {fps:.1f}",
+                  file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"WARN tracked-FPS bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     emit_and_exit(0)
