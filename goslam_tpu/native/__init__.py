@@ -5,6 +5,9 @@
   * depth rasterizer (z-buffer) — replaces the reference's pyrender
     offscreen depth pass used as the mesh-culling occlusion oracle
     (mesher.py:444-480).
+  * greedy edge-proposal scan — the backend's distance-sorted NMS loop
+    (reference backend.py:62-94); Python costs ~33 s per 2048-keyframe
+    full-BA trigger on one core, C++ milliseconds.
 
 Shared libraries are built on demand with g++ and cached next to the
 source.
@@ -118,6 +121,79 @@ def _load_raster():
     ]
     _raster_lib = lib
     return lib
+
+
+_GREEDY_SRC = os.path.join(_DIR, "greedy.cpp")
+_GREEDY_LIB = os.path.join(_DIR, "libgreedy.so")
+_greedy_lib = None
+
+
+def _load_greedy():
+    global _greedy_lib
+    if _greedy_lib is not None:
+        return _greedy_lib
+    if (not os.path.exists(_GREEDY_LIB)
+            or os.path.getmtime(_GREEDY_LIB)
+            < os.path.getmtime(_GREEDY_SRC)):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _GREEDY_SRC,
+             "-o", _GREEDY_LIB], check=True)
+    lib = ctypes.CDLL(_GREEDY_LIB)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.greedy_propose.restype = ctypes.c_int64
+    lib.greedy_propose.argtypes = [
+        f64p, f64p,                                # d (mutated), rawd
+        ctypes.c_int64, ctypes.c_int64,            # ilen, jlen
+        ctypes.c_double, ctypes.c_int64,           # thresh, nms
+        ctypes.c_int64, ctypes.c_int64,            # es_len0, max_factors
+        ctypes.c_int32, ctypes.c_int64,            # loop, n_neigh
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # t_*_loop/start/end
+        i32p, i32p, ctypes.c_int64,                # out_i, out_j, out_cap
+        ctypes.POINTER(ctypes.c_int64),            # n_accepts_out
+    ]
+    _greedy_lib = lib
+    return lib
+
+
+def greedy_propose(d: np.ndarray, rawd: np.ndarray, thresh: float,
+                   nms: int, es_len0: int, max_factors: int, loop: bool,
+                   n_neigh: int, t_start_loop: int, t_start: int,
+                   t_end: int):
+    """Run the greedy NMS proposal scan over candidate matrix `d`.
+
+    `d` ([ilen, jlen] float64, C-contiguous) is mutated by suppression,
+    exactly like utils/greedy.greedy_nms_scan. Returns
+    (pairs [N, 2] int32 of global (i, j) edges to append, n_accepts).
+    """
+    assert d.dtype == np.float64 and d.flags.c_contiguous
+    ilen, jlen = d.shape
+    if loop:
+        rawd = np.ascontiguousarray(rawd, np.float64)
+    else:
+        rawd = d  # unused in dense mode
+    # one accept appends <= (2*n_neigh+1)^2 pairs (loop) or 2 (dense),
+    # and the scan stops once es_len exceeds max_factors, so the final
+    # accept can overshoot by at most one batch
+    batch = (2 * n_neigh + 1) ** 2 if loop else 2
+    cap = max(int(max_factors) - int(es_len0), 0) + batch + 8
+    out_i = np.empty(cap, np.int32)
+    out_j = np.empty(cap, np.int32)
+    n_acc = ctypes.c_int64(0)
+    lib = _load_greedy()
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    n = lib.greedy_propose(
+        d.ctypes.data_as(f64p), rawd.ctypes.data_as(f64p),
+        ilen, jlen, float(thresh), int(nms), int(es_len0),
+        int(max_factors), int(bool(loop)), int(n_neigh),
+        int(t_start_loop), int(t_start), int(t_end),
+        out_i.ctypes.data_as(i32p), out_j.ctypes.data_as(i32p), cap,
+        ctypes.byref(n_acc))
+    if n < 0:
+        raise RuntimeError("greedy_propose output buffer overflow")
+    pairs = np.stack([out_i[:n], out_j[:n]], axis=1)
+    return pairs, int(n_acc.value)
 
 
 def render_depth(verts: np.ndarray, tris: np.ndarray, w2c: np.ndarray,

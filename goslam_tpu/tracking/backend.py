@@ -74,6 +74,25 @@ class Backend:
 
         n_neigh = 1
 
+        # native scan: the Python greedy loop costs ~33 s of a
+        # 2048-keyframe trigger on one core; the C++ twin is ms.
+        # GOSLAM_NATIVE_GREEDY=0 forces the Python path (parity tests).
+        import os
+        if os.environ.get("GOSLAM_NATIVE_GREEDY", "1") != "0":
+            try:
+                from ..native import greedy_propose
+                pairs, n_acc = greedy_propose(
+                    d, rawd, thresh, nms, len(es), max_factors, loop,
+                    n_neigh, t_start_loop, t_start, t_end)
+                es.extend(tuple(p) for p in pairs.tolist())
+                self.last_loop_accepts += n_acc
+                self.total_loop_accepts += n_acc
+                return es
+            except Exception as e:  # noqa: BLE001 — g++ missing, etc.
+                import warnings
+                warnings.warn(f"native greedy unavailable ({e}); "
+                              "falling back to the Python scan")
+
         def accept(di, dj):
             if len(es) > max_factors:
                 return False

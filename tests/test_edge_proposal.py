@@ -89,10 +89,16 @@ def _make_backend(dist, stereo):
     return be
 
 
+@pytest.mark.parametrize("impl", ["native", "python"])
 @pytest.mark.parametrize("seed", range(6))
 @pytest.mark.parametrize("loop,stereo", [(False, False), (False, True),
                                          (True, False)])
-def test_propose_edges_matches_reference(seed, loop, stereo):
+def test_propose_edges_matches_reference(seed, loop, stereo, impl,
+                                         monkeypatch):
+    # the C++ scan (native/greedy.cpp) and the Python fallback must both
+    # reproduce the reference loop — the runtime uses the native one
+    monkeypatch.setenv("GOSLAM_NATIVE_GREEDY",
+                       "1" if impl == "native" else "0")
     rng = np.random.default_rng(seed)
     n = 24
     # symmetric-ish distances with clusters so NMS suppression kicks in
