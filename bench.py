@@ -23,6 +23,7 @@ rest attached as extra keys).
 """
 import json
 import sys
+import threading
 import time
 import os
 
@@ -310,14 +311,15 @@ def bench_tracked_fps(n_frames: int = 120, warmup: int = 24):
 # is banked before the driver's timeout can hit.
 
 RESULTS: dict = {}
-_EMITTED = False
+# single-acquire gate: the watchdog Timer thread and the main thread can
+# both reach emit_and_exit at budget expiry; a bare check-then-set flag
+# could let both print and break the one-JSON-line driver contract
+_EMIT_GATE = threading.Lock()
 
 
 def emit_and_exit(code=0):
-    global _EMITTED
-    if _EMITTED:
+    if not _EMIT_GATE.acquire(blocking=False):
         return
-    _EMITTED = True
     baseline = 1.0  # BASELINE.md: 2k keyframes < 1 s per trigger
     out = {}
     if "e2e_seconds" in RESULTS:

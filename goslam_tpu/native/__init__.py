@@ -166,7 +166,13 @@ def greedy_propose(d: np.ndarray, rawd: np.ndarray, thresh: float,
     exactly like utils/greedy.greedy_nms_scan. Returns
     (pairs [N, 2] int32 of global (i, j) edges to append, n_accepts).
     """
-    assert d.dtype == np.float64 and d.flags.c_contiguous
+    if d.dtype != np.float64 or not d.flags.c_contiguous:
+        # survives python -O (an assert would not): the C scan mutates
+        # `d` in place through a raw double*, so a silent dtype/stride
+        # mismatch would mean OOB reads and garbage edges
+        raise ValueError("greedy_propose needs a C-contiguous float64 "
+                         f"matrix, got {d.dtype} "
+                         f"(contiguous={d.flags.c_contiguous})")
     ilen, jlen = d.shape
     if loop:
         rawd = np.ascontiguousarray(rawd, np.float64)

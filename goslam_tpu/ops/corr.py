@@ -26,11 +26,17 @@ from __future__ import annotations
 
 from typing import List, NamedTuple, Sequence
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 NUM_LEVELS = 4
 RADIUS = 3
+# window-gather lowering override; resolved once at import (see
+# _window_gather) — changing it after a jitted caller has traced would
+# otherwise silently keep the stale lowering
+_GATHER_MODE = os.environ.get("GOSLAM_GATHER", "")
 
 
 class CorrPyramid(NamedTuple):
@@ -122,11 +128,13 @@ def _window_gather(vol: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
     vol: [E, P1, H2, W2]; x0/y0: [E, P1] int32 floor coords.
     Returns [E, P1, 2r+2, 2r+2] fp32 with zeros out of bounds.
 
-    Two equivalent lowerings, picked per backend at trace time (override
-    with GOSLAM_GATHER=mxu|taa; parity-tested in tests/test_corr.py).
+    Two equivalent lowerings, picked per backend (override with
+    GOSLAM_GATHER=mxu|taa — read ONCE at import, because jitted callers
+    bake the choice into their traces and the jit cache is not keyed on
+    the env var; set it before importing goslam_tpu.  Parity-tested in
+    tests/test_corr.py).
     """
-    import os
-    mode = os.environ.get("GOSLAM_GATHER", "")
+    mode = _GATHER_MODE
     if not mode:
         mode = "mxu" if jax.default_backend() == "tpu" else "taa"
     fn = _window_gather_mxu if mode == "mxu" else _window_gather_taa

@@ -33,8 +33,14 @@ per (edge, pixel-block) entirely in VMEM:
 
 Numerically identical to ops/corr.alt_corr (same fp32 accumulation
 order up to matmul reassociation); parity-tested against it in
-tests/test_corr.py and in compiled (Mosaic) mode in
-tests/test_pallas_kernels.py.
+tests/test_corr.py::test_alt_corr_fused_matches_alt_corr (interpreter)
+and tests/test_pallas_kernels.py::test_alt_corr_fused_mosaic_matches_alt_corr
+(compiled Mosaic, TPU-only slow tier).
+
+Not yet the runtime's default: factor_graph dispatches alt_corr_mxu
+(the gather-as-matmul XLA path, 11x faster than the original one-hot
+form after round-4 tuning); this kernel is the candidate replacement —
+benchmark fused-vs-mxu on real shapes before switching.
 """
 from __future__ import annotations
 

@@ -23,7 +23,9 @@ def greedy_nms_scan(d: np.ndarray, thresh: float, nms: int, accept):
     [di±nms, dj±nms] neighborhood is suppressed.
     """
     ilen, jlen = d.shape
-    order = np.argsort(d, axis=None)
+    # stable sort: equal-distance ties break by flat index, matching the
+    # native twin's deterministic scan (native/greedy.cpp)
+    order = np.argsort(d, axis=None, kind="stable")
     snap = d.reshape(-1)[order]
     order = order[snap <= thresh]
     for k in order:

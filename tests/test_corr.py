@@ -145,3 +145,27 @@ def test_zero_displacement_peak(rng):
     center = out[0, :, :, 3 * 7 + 3]
     expect = (np.asarray(f[0]) ** 2).sum(-1) / 16.0
     np.testing.assert_allclose(center, expect, rtol=2e-2, atol=1e-2)
+
+
+def test_alt_corr_fused_matches_alt_corr(rng):
+    """The Pallas fused alt-corr kernel (pallas_corr.alt_corr_fused,
+    interpreter mode) must equal alt_corr: same bf16 features, same
+    fp32-accumulated MXU contraction, same zero-OOB window + bilinear
+    combine, same x-major channel layout."""
+    from goslam_tpu.ops.pallas_corr import alt_corr_fused
+
+    T = 3
+    fmaps = jnp.asarray(rng.normal(size=(T, H, W, C)).astype(np.float32))
+    ii = jnp.asarray([0, 2], jnp.int32)
+    jj = jnp.asarray([1, 0], jnp.int32)
+    # mix of interior and out-of-bounds coords to hit the zero-OOB path
+    coords = jnp.asarray(
+        rng.uniform(-2, max(H, W) + 1, size=(E, H, W, 2)).astype(np.float32))
+
+    fp = corr.build_feature_pyramid(fmaps, num_levels=2)
+    out_ref = corr.alt_corr(fp, coords, ii, jj)
+    out_fused = alt_corr_fused(tuple(fp.levels), coords, ii, jj,
+                               interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=5e-2, atol=5e-2)

@@ -252,3 +252,25 @@ def test_fused_cg_ba_mosaic_matches_xla_cg(rng):
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(d_tpu), np.asarray(d_ref),
                                atol=5e-3)
+
+
+@tpu_only
+@pytest.mark.slow
+def test_alt_corr_fused_mosaic_matches_alt_corr(rng):
+    """Mosaic lowering of the fused alt-corr kernel vs the XLA alt_corr
+    path, on the real chip (interpreter parity lives in test_corr.py)."""
+    from goslam_tpu.ops import corr
+    from goslam_tpu.ops.pallas_corr import alt_corr_fused
+
+    T, E2, H2, W2, C2 = 4, 3, 16, 24, 32
+    fmaps = jnp.asarray(rng.normal(size=(T, H2, W2, C2)).astype(np.float32))
+    ii = jnp.asarray([0, 2, 3], jnp.int32)
+    jj = jnp.asarray([1, 0, 2], jnp.int32)
+    coords = jnp.asarray(rng.uniform(
+        -2, max(H2, W2) + 1, size=(E2, H2, W2, 2)).astype(np.float32))
+
+    fp = corr.build_feature_pyramid(fmaps, num_levels=4)
+    ref = np.asarray(corr.alt_corr(fp, coords, ii, jj))
+    out = np.asarray(alt_corr_fused(tuple(fp.levels), coords, ii, jj,
+                                    interpret=False))
+    np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
