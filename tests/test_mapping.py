@@ -173,3 +173,45 @@ def test_cull_small_components(rng):
     v2, t2 = mesher.cull_small_components(v, t, min_area_ratio=0.3)
     assert len(t2) == 4
     assert len(v2) == 4
+
+
+def test_hashgrid_matches_oracle(rng):
+    """The N-minor-layout encoding must equal a direct numpy oracle of the
+    original [L, N, 8, F] formulation (dense vs hash indexing, corner
+    clipping, trilinear weights, l*F+f channel order)."""
+    from goslam_tpu.mapping.hashgrid import PRIMES, level_resolutions
+
+    L, F, log2T, base = 5, 2, 9, 4
+    T = 1 << log2T
+    hg = HashGrid(n_levels=L, n_features=F, log2_table=log2T, base_res=base)
+    x = jnp.asarray(rng.uniform(-0.05, 1.05, (64, 3)).astype(np.float32))
+    params = hg.init(jax.random.PRNGKey(2), x)
+    out = np.asarray(hg.apply(params, x))
+
+    table = np.asarray(params["params"]["table"])   # [L, T, F]
+    res = level_resolutions(L, base, hg.growth)
+    pts = np.asarray(x)
+    expect = np.zeros((pts.shape[0], L * F), np.float32)
+    corners = np.asarray([[i, j, k] for i in (0, 1) for j in (0, 1)
+                          for k in (0, 1)])
+    for lvl in range(L):
+        scaled = pts * np.float32(res[lvl] - 1)
+        c0 = np.floor(scaled).astype(np.int64)
+        frac = scaled - c0
+        dense = (res[lvl] + 1) ** 3 <= T
+        for n in range(pts.shape[0]):
+            acc = np.zeros(F, np.float32)
+            for c in corners:
+                ci = np.clip(c0[n] + c, 0, res[lvl] - 1)
+                if dense:
+                    idx = int(ci[0] + ci[1] * res[lvl]
+                              + ci[2] * res[lvl] ** 2) % T
+                else:
+                    cu = ci.astype(np.uint32)
+                    idx = int((cu[0] * np.uint32(PRIMES[0]))
+                              ^ (cu[1] * np.uint32(PRIMES[1]))
+                              ^ (cu[2] * np.uint32(PRIMES[2]))) % T
+                w = np.prod(np.where(c == 1, frac[n], 1 - frac[n]))
+                acc += np.float32(w) * table[lvl, idx]
+            expect[n, lvl * F:(lvl + 1) * F] = acc
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
