@@ -104,6 +104,36 @@ def _window_gather_mxu(vol: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
     return taps
 
 
+def _window_gather_vpu(vol: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
+                       radius: int) -> jnp.ndarray:
+    """Window extraction as unrolled mask-reductions on the VPU.
+
+    The one-hot einsum form (_window_gather_mxu) lowers to E*P1 batched
+    [S, H2] @ [H2, W2] matmuls — ~300k MXU passes per 256-edge chunk at
+    the runtime's 30x40 geometry, each using a sliver of the systolic
+    array: measured 80 ms/chunk, 23.1 s of the 40.3 s full-BA trigger
+    (round-5 bisection).  Expressing the same selection as S broadcast
+    compare-multiply-reduce passes keeps it on the VPU where XLA fuses
+    mask and reduction: each tap is still exactly one volume element or
+    zero (out-of-range rows/columns match no iota), so the result is
+    bit-identical to the gather.
+    """
+    E, P1, H2, W2 = vol.shape
+    S = 2 * radius + 2
+    v = vol.astype(jnp.float32)
+    hh = jnp.arange(H2)
+    rows = jnp.stack(
+        [(v * ((y0 - radius + s)[..., None, None] == hh[:, None])
+          .astype(v.dtype)).sum(axis=2) for s in range(S)],
+        axis=2)                                        # [E, P1, S, W2]
+    ww = jnp.arange(W2)
+    taps = jnp.stack(
+        [(rows * ((x0 - radius + t)[..., None, None] == ww)
+          .astype(v.dtype)).sum(axis=3) for t in range(S)],
+        axis=3)                                        # [E, P1, S, S]
+    return taps
+
+
 def _window_gather_taa(vol: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
                        radius: int) -> jnp.ndarray:
     """Window extraction as a flat take_along_axis — XLA:CPU lowers this
@@ -128,16 +158,20 @@ def _window_gather(vol: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
     vol: [E, P1, H2, W2]; x0/y0: [E, P1] int32 floor coords.
     Returns [E, P1, 2r+2, 2r+2] fp32 with zeros out of bounds.
 
-    Two equivalent lowerings, picked per backend (override with
-    GOSLAM_GATHER=mxu|taa — read ONCE at import, because jitted callers
-    bake the choice into their traces and the jit cache is not keyed on
-    the env var; set it before importing goslam_tpu.  Parity-tested in
-    tests/test_corr.py).
+    Three equivalent lowerings, picked per backend (override with
+    GOSLAM_GATHER=vpu|mxu|taa — read ONCE at import, because jitted
+    callers bake the choice into their traces and the jit cache is not
+    keyed on the env var; set it before importing goslam_tpu.
+    Parity-tested in tests/test_corr.py).  TPU default is the VPU
+    mask-reduce form: the one-hot-matmul form cost 80 ms/chunk in
+    ~300k sliver MXU passes (21.7 s of the 40.3 s 2048-kf trigger,
+    round-5 bisection), the VPU form fuses to compare-multiply-reduce.
     """
     mode = _GATHER_MODE
     if not mode:
-        mode = "mxu" if jax.default_backend() == "tpu" else "taa"
-    fn = _window_gather_mxu if mode == "mxu" else _window_gather_taa
+        mode = "vpu" if jax.default_backend() == "tpu" else "taa"
+    fn = {"vpu": _window_gather_vpu, "mxu": _window_gather_mxu,
+          "taa": _window_gather_taa}[mode]
     return fn(vol, x0, y0, radius)
 
 

@@ -55,8 +55,12 @@ NUM_LEVELS = 4
 
 
 def _pixel_block(P1: int) -> int:
-    """Largest divisor of P1 that is <= 256 (one VMEM-friendly block)."""
-    for d in range(min(P1, 256), 0, -1):
+    """Largest divisor of P1 that is <= 128.
+
+    The VPU window extraction holds ~8 [Pb, H0, Wmax] fp32 temporaries
+    on the Mosaic vector stack; Pb = 240 blew the 16 MB scoped-VMEM
+    limit at the runtime's 30x40 geometry (19.4 MB), Pb = 120 fits."""
+    for d in range(min(P1, 128), 0, -1):
         if P1 % d == 0:
             return d
     return P1
@@ -122,9 +126,13 @@ def _corr_kernel(ii_ref, jj_ref, coords_ref, f1_ref, *rest, radius,
                + dx * (1 - dy) * taps[:, 1:, :rd]
                + (1 - dx) * dy * taps[:, :rd, 1:]
                + dx * dy * taps[:, 1:, 1:])          # [Pb, rd(t), rd(s)]
-        # channel = x_off * rd + y_off — exactly the row-major flatten
-        # of the (t, s) trailing dims
-        out_ref[0, :, off:off + rd * rd] = out.reshape(Pb, rd * rd)
+        # channel = x_off * rd + y_off — the row-major flatten of the
+        # (t, s) trailing dims, stored one x-offset row at a time:
+        # Mosaic cannot shape-cast [Pb, rd, rd] -> [Pb, rd*rd] (the
+        # collapsed minor dims are not tile-aligned), but [Pb, rd]
+        # slice stores lower fine
+        for t in range(rd):
+            out_ref[0, :, off + t * rd:off + (t + 1) * rd] = out[:, t, :]
         off += rd * rd
 
 

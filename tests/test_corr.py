@@ -109,7 +109,9 @@ def test_window_gather_lowerings_agree(rng):
     x0 = jnp.asarray(rng.integers(-5, W2 + 5, (Ep, P1)), jnp.int32)
     a = corr._window_gather_mxu(vol, x0, y0, radius=3)
     b = corr._window_gather_taa(vol, x0, y0, radius=3)
+    c = corr._window_gather_vpu(vol, x0, y0, radius=3)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(c))
 
 
 def test_alt_corr_mxu_matches_alt_corr(rng):
