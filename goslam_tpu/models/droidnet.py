@@ -143,17 +143,43 @@ class GraphAgg(nn.Module):
     Static-shape replacement for torch_scatter: edges are segment-averaged
     onto a fixed frame capacity `num_frames`; frames without edges produce
     outputs the caller masks out.
+
+    Split into an edge-side half (`edge_features`: the pre-aggregation
+    conv) and a frame-side half (`frame_head`: the convs over the [P,...]
+    segment mean) so the edge-chunked lowmem path can accumulate segment
+    sums across chunks and run the frame-side convs ONCE per step instead
+    of once per chunk — which is also exactly the reference's semantics
+    (its keyframe-chunked GRU gives GraphAgg every edge of a frame in one
+    call; a per-edge-chunk GraphAgg would see partial means).
     """
     num_frames: int
 
-    @nn.compact
+    def setup(self):
+        self.conv1 = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)))
+        self.conv2 = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)))
+        self.eta = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)))
+        self.upmask = nn.Conv(8 * 8 * 9, (1, 1))
+
+    def edge_features(self, net):
+        """Edge-side half: [E,H,W,128] -> [E,H,W,128] (pre-aggregation)."""
+        return nn.relu(self.conv1(net))
+
+    def frame_head(self, agg, want_upmask=True):
+        """Frame-side half over the segment mean [P,H,W,128].
+
+        Returns (eta [P,H,W], upmask [P,H,W,8*8*9] or None)."""
+        agg = nn.relu(self.conv2(agg))
+        eta = jax.nn.softplus(grad_clip(self.eta(agg)))
+        upmask = self.upmask(agg) if want_upmask else None
+        return 0.01 * eta[..., 0], upmask
+
     def __call__(self, net, ii, edge_valid):
         """net: [E,H,W,128]; ii: [E] source frames; edge_valid: [E] bool.
 
         Returns (eta [P,H,W], upmask [P,H,W,8*8*9], frame_has_edge [P]).
         """
         P = self.num_frames
-        net = nn.relu(_conv(128, 3, 1, 1, "conv1")(net))
+        net = self.edge_features(net)
 
         w = edge_valid.astype(net.dtype)
         seg_sum = jax.ops.segment_sum(net * w[:, None, None, None], ii,
@@ -162,10 +188,8 @@ class GraphAgg(nn.Module):
         has_edge = seg_cnt > 0
         agg = seg_sum / jnp.maximum(seg_cnt, 1.0)[:, None, None, None]
 
-        agg = nn.relu(_conv(128, 3, 1, 1, "conv2")(agg))
-        eta = jax.nn.softplus(grad_clip(_conv(1, 3, 1, 1, "eta")(agg)))
-        upmask = _conv(8 * 8 * 9, 1, 1, 0, "upmask")(agg)
-        return 0.01 * eta[..., 0], upmask, has_edge
+        eta, upmask = self.frame_head(agg)
+        return eta, upmask, has_edge
 
 
 class UpdateModule(nn.Module):

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.droidnet import UpdateModule, upsample_disp
+from ..models.droidnet import GraphAgg, UpdateModule, upsample_disp
 from ..ops import corr, dba, projective
 from ..utils.greedy import greedy_nms_scan
 from ..utils.shapes import bucket
@@ -535,54 +535,82 @@ def _weight_calib(params):
 
 
 def _gru_chunk_scan(update_op, params, fpyr, inps_v, coords1, motion,
-                    net_in, ii_s, ii_rs, jj_rs, valid, nchunks, chunk,
-                    P, base, h8, w8, vary_axis=None):
+                    net_in, ii_s, ii_rs, jj_rs, nchunks, chunk):
     """Edge-chunked alt-corr + ConvGRU as ONE lax.scan over chunks.
 
     A python-unrolled chunk loop at backend scale (48+ chunks of 256
     edges over thousands of keyframes) explodes XLA compile time; scan
-    compiles the chunk body once. Damping (GraphAgg eta) accumulates in
-    the carry: sum of per-chunk eta over chunks that saw each frame,
-    plus the count — callers divide for the chunk-mean the reference's
-    keyframe-chunked GRU produces (factor_graph.py:279-303).
+    compiles the chunk body once. GraphAgg is NOT part of the body:
+    after the scan, the returned net slab holds every edge's updated
+    hidden state, so the caller runs the whole aggregation once per
+    step (_agg_eta_from_nets).
 
     All edge arrays must be pre-padded to nchunks*chunk. Returns
-    (net_new, delta, w_new) at [nchunks*chunk, ...] plus (eta_sum
-    [P,h8,w8], has_any [P])."""
+    (net_new, delta, w_new) at [nchunks*chunk, ...]."""
     resh = lambda a: a.reshape((nchunks, chunk) + a.shape[1:])
 
-    def body(carry, ch):
-        coords_ch, motion_ch, net_ch, ii_ch, iir_ch, jjr_ch, ok_ch = ch
+    def body(_, ch):
+        coords_ch, motion_ch, net_ch, ii_ch, iir_ch, jjr_ch = ch
         corr_feat = corr.alt_corr_mxu(fpyr, coords_ch, iir_ch, jjr_ch)
-        ii_loc = jnp.clip(ii_ch - base, 0, P - 1)
-        net_c, delta_c, w_c, eta_c, _, has_c = update_op.apply(
+        net_c, delta_c, w_c = update_op.apply(
             {"params": params["update"]},
             net_ch.astype(jnp.bfloat16), inps_v[ii_ch],
             corr_feat.astype(jnp.bfloat16),
-            motion_ch.astype(jnp.bfloat16),
-            ii_loc, ok_ch)
+            motion_ch.astype(jnp.bfloat16))
         w_c = w_c * jnp.asarray(_weight_calib(params), w_c.dtype)
-        eta_sum, has_sum = carry
-        hf = has_c.astype(jnp.float32)
-        carry = (eta_sum + eta_c.astype(jnp.float32) * hf[:, None, None],
-                 has_sum + hf)
-        return carry, (net_c, delta_c, w_c)
+        return None, (net_c, delta_c, w_c)
 
-    init = (jnp.zeros((P, h8, w8), jnp.float32),
-            jnp.zeros((P,), jnp.float32))
-    if vary_axis is not None:
-        # inside shard_map the scanned updates are device-varying; the
-        # initial carry must be cast to match
-        init = jax.tree.map(
-            lambda x: jax.lax.pcast(x, (vary_axis,), to="varying"), init)
-    (eta_sum, has_any), (net_new, delta, w_new) = jax.lax.scan(
+    _, (net_new, delta, w_new) = jax.lax.scan(
         body,
-        init,
+        None,
         (resh(coords1), resh(motion), resh(net_in), resh(ii_s),
-         resh(ii_rs), resh(jj_rs), resh(valid)))
+         resh(ii_rs), resh(jj_rs)))
 
     flat = lambda a: a.reshape((nchunks * chunk,) + a.shape[2:])
-    return flat(net_new), flat(delta), flat(w_new), eta_sum, has_any
+    return flat(net_new), flat(delta), flat(w_new)
+
+
+def _agg_eta_from_nets(agg_op, params, nets, ii_loc, valid, P, axis=None):
+    """Whole-graph GraphAgg: damping from every edge's final hidden
+    state in ONE pass (conv1 over the edge slab, one scatter-add, the
+    [P,...] frame-side convs once).
+
+    The reference's keyframe-chunked GRU hands GraphAgg every edge of a
+    frame in one call (factor_graph.py:279-303), so the global segment
+    mean is exactly its semantics.  Running it per edge-chunk instead
+    costs 48x the frame-side convs (+2.65 s/step measured at 2048 kf),
+    and accumulating segment sums in the chunk loop's carry costs +7 s
+    (fp32) of loop-carried HBM traffic per trigger — one pass over the
+    final net slab avoids both.
+
+    nets: [E,h8,w8,128]; ii_loc: [E] window-local source frames;
+    valid: [E] bool.  Returns (eta [P,h8,w8] fp32, has_any [P] bool).
+
+    The pass is sliced into <=3072-edge blocks (python-unrolled, so XLA
+    chains the scatter-adds in place): one 12k-edge conv1 output is a
+    7.3 GB fp32 temp that OOMs the 16 GB chip next to the BA state."""
+    E = nets.shape[0]
+    h8, w8 = nets.shape[1:3]
+    okf = valid.astype(jnp.float32)
+    seg_sum = jnp.zeros((P, h8, w8, 128), jnp.float32)
+    seg_cnt = jnp.zeros((P,), jnp.float32).at[ii_loc].add(okf)
+    block = min(E, 3072)
+    for s0 in range(0, E, block):
+        sl = slice(s0, min(s0 + block, E))
+        ef = agg_op.apply({"params": params["update"]["agg"]},
+                          nets[sl].astype(jnp.bfloat16),
+                          method="edge_features").astype(jnp.float32)
+        seg_sum = seg_sum.at[ii_loc[sl]].add(
+            ef * okf[sl][:, None, None, None])
+    if axis is not None:
+        # shard_map callers: frames are shard-local, psum recovers the
+        # global per-frame sums; the [P,...] head runs replicated
+        seg_sum = jax.lax.psum(seg_sum, axis)
+        seg_cnt = jax.lax.psum(seg_cnt, axis)
+    agg = seg_sum / jnp.maximum(seg_cnt, 1.0)[:, None, None, None]
+    eta, _ = agg_op.apply({"params": params["update"]["agg"]}, agg,
+                          want_upmask=False, method="frame_head")
+    return eta.astype(jnp.float32), seg_cnt > 0
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -697,9 +725,10 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, Tb, params,
     fm = fmaps[:Tb // fmaps.shape[1]].reshape(-1, h8, w8, 128)
     fpyr = corr.build_feature_pyramid(fm)
     update_op = UpdateModule(num_frames=P)
+    agg_op = GraphAgg(num_frames=P)
 
     def body(c, carry):
-        net, target, weight, eta_sum, has_sum = carry
+        net, target, weight = carry
         c0 = c * chunk
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0, chunk)
         ii_ch, jj_ch = sl(ii_s), sl(jj_s)
@@ -712,13 +741,11 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, Tb, params,
                                             ii_ch, jj_ch)
         motion_ch = _motion_features(coords_ch, tgt_ch, h8, w8)
         corr_feat = corr.alt_corr_mxu(fpyr, coords_ch, iir_ch, jjr_ch)
-        ii_loc = jnp.clip(ii_ch - base, 0, P - 1)
-        net_c, delta_c, w_c, eta_c, _, has_c = update_op.apply(
+        net_c, delta_c, w_c = update_op.apply(
             {"params": params["update"]},
             net_ch.astype(jnp.bfloat16), inps_v[ii_ch],
             corr_feat.astype(jnp.bfloat16),
-            motion_ch.astype(jnp.bfloat16),
-            ii_loc, ok_ch)
+            motion_ch.astype(jnp.bfloat16))
         okm = ok_ch[:, None, None, None]
         up = lambda a, v: jax.lax.dynamic_update_slice_in_dim(a, v, c0, 0)
         net = up(net, jnp.where(okm, net_c.astype(net.dtype), net_ch))
@@ -726,21 +753,19 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, Tb, params,
             okm, coords_ch + delta_c.astype(jnp.float32), tgt_ch))
         weight = up(weight, jnp.where(
             okm, w_c.astype(jnp.float32) * _weight_calib(params), wt_ch))
-        hf = has_c.astype(jnp.float32)
-        eta_sum = eta_sum + eta_c.astype(jnp.float32) * hf[:, None, None]
-        has_sum = has_sum + hf
-        return net, target, weight, eta_sum, has_sum
+        return net, target, weight
 
-    net, target, weight, eta_sum, has_any = jax.lax.fori_loop(
-        0, nchunks, body,
-        (net, target, weight,
-         jnp.zeros((P, h8, w8), jnp.float32), jnp.zeros((P,), jnp.float32)))
+    net, target, weight = jax.lax.fori_loop(
+        0, nchunks, body, (net, target, weight))
 
-    # per-chunk damping estimates: mean over chunks that saw the frame
-    eta_mean = eta_sum / jnp.maximum(has_any, 1.0)[:, None, None]
+    # whole-graph GraphAgg over the final hidden states (the chunk loop
+    # carries no [P,...] accumulator — see _agg_eta_from_nets)
+    ii_loc_all = jnp.clip(ii_s - base, 0, P - 1)
+    eta_mean, has_frame = _agg_eta_from_nets(
+        agg_op, params, net, ii_loc_all, valid, P)
 
     damping_w = jax.lax.dynamic_slice(damping, (base, 0, 0), (P, h8, w8))
-    damping_w = jnp.where((has_any > 0)[:, None, None], eta_mean, damping_w)
+    damping_w = jnp.where(has_frame[:, None, None], eta_mean, damping_w)
     damping = jax.lax.dynamic_update_slice(damping, damping_w, (base, 0, 0))
 
     poses_w = jax.lax.dynamic_slice(poses, (base, 0), (P, 7))
@@ -836,19 +861,17 @@ def _lowmem_kernel_sharded(P, chunk, max_deg, mesh, Tb, params,
             ii_lc, ii_rlc, jj_rlc = ii_l, ii_rl, jj_rl
             ok_c = ok_e
 
-        net_new, delta, w_new, eta_sum, has_any = _gru_chunk_scan(
+        net_new, delta, w_new = _gru_chunk_scan(
             update_op, params, fpyr_rep, inps_rep, coords1_c, motion_c,
-            net_in, ii_lc, ii_rlc, jj_rlc, ok_c, nchunks, csize, P, 0,
-            h8, w8, vary_axis=axis)
+            net_in, ii_lc, ii_rlc, jj_rlc, nchunks, csize)
         net_new, delta, w_new = net_new[:Es], delta[:Es], w_new[:Es]
 
-        # per-frame damping: sum over this shard's chunks, then combine
-        # across shards — every frame's edges are shard-local, so psum
-        # recovers the global per-frame chunk sums
-        eta_sum = jax.lax.psum(eta_sum, axis)
-        has_any = jax.lax.psum(has_any, axis)
-        eta_mean = eta_sum / jnp.maximum(has_any, 1.0)[:, None, None]
-        damping_new = jnp.where((has_any > 0)[:, None, None], eta_mean,
+        # per-frame damping: whole-graph GraphAgg over this shard's
+        # final hidden states, segment sums psum'd across shards
+        eta_mean, has_frame = _agg_eta_from_nets(
+            GraphAgg(num_frames=P), params, net_new,
+            jnp.clip(ii_l - base, 0, P - 1), ok_e, P, axis=axis)
+        damping_new = jnp.where(has_frame[:, None, None], eta_mean,
                                 damping_w)
 
         vmask = ok_e[:, None, None, None]

@@ -32,10 +32,16 @@ if (os.environ.get("JAX_PLATFORMS") == "cpu"
     jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache — compiles on this box are slow (1 CPU core,
-# tunneled TPU); cache them across test runs
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# tunneled TPU); cache them across test runs.  TPU-only: XLA:CPU caches
+# AOT executables keyed without host machine features, so entries written
+# by a different build box load with mismatched feature sets
+# (cpu_aot_loader "could lead to execution errors such as SIGILL" — and,
+# observed here, silently wrong numerics in scatter-heavy kernels).  The
+# driver's dryrun disables the CPU cache for the same reason.
+if os.environ.get("JAX_PLATFORMS") != "cpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # exact fp32 conv/matmul so golden-parity tests compare real numbers.
 # (env vars are too late here: the axon site hook preloads jax at
