@@ -25,7 +25,7 @@ Parity notes vs the reference:
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -56,15 +56,23 @@ grad_clip.defvjp(_grad_clip_fwd, _grad_clip_bwd)
 
 def instance_norm(x, eps: float = 1e-5):
     """Per-sample, per-channel normalization over H,W (NHWC), no affine —
-    matches torch nn.InstanceNorm2d defaults (affine=False)."""
-    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-    var = jnp.var(x, axis=(-3, -2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    matches torch nn.InstanceNorm2d defaults (affine=False).  Statistics
+    always accumulate in fp32 (torch AMP autocasts norms to fp32 too);
+    the result is cast back to the input dtype."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
+    var = jnp.var(x32, axis=(-3, -2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
-def _conv(features, kernel, stride=1, pad=0, name=None):
+def _conv(features, kernel, stride=1, pad=0, name=None, dtype=None):
+    """dtype selects the COMPUTE dtype (flax casts inputs and the fp32
+    params to it): dtype=jnp.bfloat16 keeps the conv on the MXU's native
+    bf16 path — the runtime's choice, mirroring the reference's fp16 AMP
+    (motion_filter.py:26) — while dtype=None promotes to fp32 (the
+    golden-parity tests' choice)."""
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=((pad, pad), (pad, pad)), name=name)
+                   padding=((pad, pad), (pad, pad)), name=name, dtype=dtype)
 
 
 class ResidualBlock(nn.Module):
@@ -72,6 +80,7 @@ class ResidualBlock(nn.Module):
     planes: int
     norm_fn: str = "instance"
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -80,10 +89,13 @@ class ResidualBlock(nn.Module):
                 return instance_norm(h)
             return h  # 'none'
 
-        y = nn.relu(norm(_conv(self.planes, 3, self.stride, 1, "conv1")(x)))
-        y = nn.relu(norm(_conv(self.planes, 3, 1, 1, "conv2")(y)))
+        dt = self.dtype
+        y = nn.relu(norm(_conv(self.planes, 3, self.stride, 1, "conv1",
+                               dt)(x)))
+        y = nn.relu(norm(_conv(self.planes, 3, 1, 1, "conv2", dt)(y)))
         if self.stride > 1:
-            x = norm(_conv(self.planes, 1, self.stride, 0, "downsample")(x))
+            x = norm(_conv(self.planes, 1, self.stride, 0, "downsample",
+                           dt)(x))
         return nn.relu(x + y)
 
 
@@ -92,6 +104,7 @@ class BasicEncoder(nn.Module):
     + 1x1 head (extractor.py:61-126)."""
     out_dim: int
     norm_fn: str = "instance"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -102,37 +115,44 @@ class BasicEncoder(nn.Module):
         def norm(h):
             return instance_norm(h) if self.norm_fn == "instance" else h
 
-        x = nn.relu(norm(_conv(32, 7, 2, 3, "conv1")(x)))
-        x = ResidualBlock(32, self.norm_fn, 1, name="layer1_0")(x)
-        x = ResidualBlock(32, self.norm_fn, 1, name="layer1_1")(x)
-        x = ResidualBlock(64, self.norm_fn, 2, name="layer2_0")(x)
-        x = ResidualBlock(64, self.norm_fn, 1, name="layer2_1")(x)
-        x = ResidualBlock(128, self.norm_fn, 2, name="layer3_0")(x)
-        x = ResidualBlock(128, self.norm_fn, 1, name="layer3_1")(x)
-        x = _conv(self.out_dim, 1, 1, 0, "conv2")(x)
+        dt = self.dtype
+        x = nn.relu(norm(_conv(32, 7, 2, 3, "conv1", dt)(x)))
+        x = ResidualBlock(32, self.norm_fn, 1, dt, name="layer1_0")(x)
+        x = ResidualBlock(32, self.norm_fn, 1, dt, name="layer1_1")(x)
+        x = ResidualBlock(64, self.norm_fn, 2, dt, name="layer2_0")(x)
+        x = ResidualBlock(64, self.norm_fn, 1, dt, name="layer2_1")(x)
+        x = ResidualBlock(128, self.norm_fn, 2, dt, name="layer3_0")(x)
+        x = ResidualBlock(128, self.norm_fn, 1, dt, name="layer3_1")(x)
+        x = _conv(self.out_dim, 1, 1, 0, "conv2", dt)(x)
         return x.reshape(lead + x.shape[-3:])
 
 
 class ConvGRU(nn.Module):
     """3x3 conv GRU with global-context gates (gru.py:5-33)."""
     hidden: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, net, inp):
         """net: [B,H,W,128] hidden; inp: [B,H,W,Ci] stacked inputs."""
+        dt = self.dtype
         net_inp = jnp.concatenate([net, inp], axis=-1)
 
-        glo = jax.nn.sigmoid(_conv(self.hidden, 1, 1, 0, "w")(net)) * net
-        glo = jnp.mean(glo, axis=(-3, -2), keepdims=True)
+        glo = jax.nn.sigmoid(_conv(self.hidden, 1, 1, 0, "w", dt)(net)) * net
+        # global-context mean in fp32 (1200-term reduction)
+        glo = jnp.mean(glo.astype(jnp.float32), axis=(-3, -2),
+                       keepdims=True).astype(glo.dtype)
 
-        z = jax.nn.sigmoid(_conv(self.hidden, 3, 1, 1, "convz")(net_inp)
-                           + _conv(self.hidden, 1, 1, 0, "convz_glo")(glo))
-        r = jax.nn.sigmoid(_conv(self.hidden, 3, 1, 1, "convr")(net_inp)
-                           + _conv(self.hidden, 1, 1, 0, "convr_glo")(glo))
+        z = jax.nn.sigmoid(_conv(self.hidden, 3, 1, 1, "convz", dt)(net_inp)
+                           + _conv(self.hidden, 1, 1, 0, "convz_glo",
+                                   dt)(glo))
+        r = jax.nn.sigmoid(_conv(self.hidden, 3, 1, 1, "convr", dt)(net_inp)
+                           + _conv(self.hidden, 1, 1, 0, "convr_glo",
+                                   dt)(glo))
         q = jnp.tanh(
-            _conv(self.hidden, 3, 1, 1, "convq")(
+            _conv(self.hidden, 3, 1, 1, "convq", dt)(
                 jnp.concatenate([r * net, inp], axis=-1))
-            + _conv(self.hidden, 1, 1, 0, "convq_glo")(glo))
+            + _conv(self.hidden, 1, 1, 0, "convq_glo", dt)(glo))
         return (1 - z) * net + z * q
 
 
@@ -153,9 +173,15 @@ class GraphAgg(nn.Module):
     call; a per-edge-chunk GraphAgg would see partial means).
     """
     num_frames: int
+    dtype: Any = None
 
     def setup(self):
-        self.conv1 = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)))
+        # conv1 is the per-edge hot path and follows the compute dtype;
+        # the frame-side head (conv2/eta/upmask) runs once per step and
+        # stays in fp32 — eta is the BA damping and the [P,...] convs
+        # are not worth bf16's nondeterminism there
+        self.conv1 = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)),
+                             dtype=self.dtype)
         self.conv2 = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)))
         self.eta = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)))
         self.upmask = nn.Conv(8 * 8 * 9, (1, 1))
@@ -168,7 +194,7 @@ class GraphAgg(nn.Module):
         """Frame-side half over the segment mean [P,H,W,128].
 
         Returns (eta [P,H,W], upmask [P,H,W,8*8*9] or None)."""
-        agg = nn.relu(self.conv2(agg))
+        agg = nn.relu(self.conv2(agg.astype(jnp.float32)))
         eta = jax.nn.softplus(grad_clip(self.eta(agg)))
         upmask = self.upmask(agg) if want_upmask else None
         return 0.01 * eta[..., 0], upmask
@@ -193,8 +219,14 @@ class GraphAgg(nn.Module):
 
 
 class UpdateModule(nn.Module):
-    """Recurrent flow/confidence update operator (droid_net.py:70-140)."""
+    """Recurrent flow/confidence update operator (droid_net.py:70-140).
+
+    `dtype` is the compute dtype for every conv (params stay fp32):
+    the runtime passes bf16 — MXU-native, and faithful to the
+    reference's fp16 AMP (motion_filter.py:26) — while the default None
+    promotes to fp32 for the golden-parity tests."""
     num_frames: int = 0   # GraphAgg capacity; 0 disables aggregation
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, net, inp, corr, flow=None, ii=None, edge_valid=None):
@@ -205,25 +237,27 @@ class UpdateModule(nn.Module):
         Returns (net, delta [E,H,W,2], weight [E,H,W,2]) and, when ii is
         given, (eta [P,H,W], upmask [P,H,W,576], has_edge [P]).
         """
+        dt = self.dtype
         if flow is None:
             flow = jnp.zeros(net.shape[:-1] + (4,), net.dtype)
 
-        corr = nn.relu(_conv(128, 1, 1, 0, "corr_enc1")(corr))
-        corr = nn.relu(_conv(128, 3, 1, 1, "corr_enc2")(corr))
-        flow = nn.relu(_conv(128, 7, 1, 3, "flow_enc1")(flow))
-        flow = nn.relu(_conv(64, 3, 1, 1, "flow_enc2")(flow))
+        corr = nn.relu(_conv(128, 1, 1, 0, "corr_enc1", dt)(corr))
+        corr = nn.relu(_conv(128, 3, 1, 1, "corr_enc2", dt)(corr))
+        flow = nn.relu(_conv(128, 7, 1, 3, "flow_enc1", dt)(flow))
+        flow = nn.relu(_conv(64, 3, 1, 1, "flow_enc2", dt)(flow))
 
         inp_cat = jnp.concatenate([inp, corr, flow], axis=-1)
-        net = ConvGRU(128, name="gru")(net, inp_cat)
+        net = ConvGRU(128, dt, name="gru")(net, inp_cat)
 
-        delta = nn.relu(_conv(128, 3, 1, 1, "delta1")(net))
-        delta = grad_clip(_conv(2, 3, 1, 1, "delta2")(delta))
-        weight = nn.relu(_conv(128, 3, 1, 1, "weight1")(net))
-        weight = jax.nn.sigmoid(grad_clip(_conv(2, 3, 1, 1, "weight2")(weight)))
+        delta = nn.relu(_conv(128, 3, 1, 1, "delta1", dt)(net))
+        delta = grad_clip(_conv(2, 3, 1, 1, "delta2", dt)(delta))
+        weight = jax.nn.sigmoid(grad_clip(_conv(
+            2, 3, 1, 1, "weight2", dt)(
+                nn.relu(_conv(128, 3, 1, 1, "weight1", dt)(net)))))
 
         if ii is not None:
-            eta, upmask, has_edge = GraphAgg(self.num_frames, name="agg")(
-                net, ii, edge_valid)
+            eta, upmask, has_edge = GraphAgg(
+                self.num_frames, dt, name="agg")(net, ii, edge_valid)
             return net, delta, weight, eta, upmask, has_edge
         return net, delta, weight
 
@@ -232,11 +266,13 @@ class DroidNet(nn.Module):
     """Container: fnet (matching features), cnet (context), update operator
     (droid_net.py:143-148)."""
     num_frames: int = 0
+    dtype: Any = None
 
     def setup(self):
-        self.fnet = BasicEncoder(128, "instance", name="fnet")
-        self.cnet = BasicEncoder(256, "none", name="cnet")
-        self.update = UpdateModule(self.num_frames, name="update")
+        self.fnet = BasicEncoder(128, "instance", self.dtype, name="fnet")
+        self.cnet = BasicEncoder(256, "none", self.dtype, name="cnet")
+        self.update = UpdateModule(self.num_frames, self.dtype,
+                                   name="update")
 
     def __call__(self, images):
         """Convenience forward for initialization: images [B,H,W,3].

@@ -91,8 +91,6 @@ class FactorGraph:
         else:
             self.pyramid = None
 
-        self.update_op = UpdateModule(num_frames=0)  # num_frames set per call
-
     # ------------------------------------------------------------------
     # host-side edge set operations
     # ------------------------------------------------------------------
@@ -636,7 +634,7 @@ def _update_kernel(P, cap, cap_inac, upsample, max_deg, params,
     ii_local = jnp.clip(ii_s - base, 0, P - 1)
     jj_local = jnp.clip(jj_s - base, 0, P - 1)
 
-    update_op = UpdateModule(num_frames=P)
+    update_op = UpdateModule(num_frames=P, dtype=jnp.bfloat16)
     net_new, delta, w_new, eta, upmask, has_edge = update_op.apply(
         {"params": params["update"]},
         net.astype(jnp.bfloat16), inps_v[ii_s],
@@ -724,8 +722,8 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, Tb, params,
     # tips HBM over at multi-thousand-keyframe scale)
     fm = fmaps[:Tb // fmaps.shape[1]].reshape(-1, h8, w8, 128)
     fpyr = corr.build_feature_pyramid(fm)
-    update_op = UpdateModule(num_frames=P)
-    agg_op = GraphAgg(num_frames=P)
+    update_op = UpdateModule(num_frames=P, dtype=jnp.bfloat16)
+    agg_op = GraphAgg(num_frames=P, dtype=jnp.bfloat16)
 
     def body(c, carry):
         net, target, weight = carry
@@ -817,7 +815,7 @@ def _lowmem_kernel_sharded(P, chunk, max_deg, mesh, Tb, params,
 
     fm = fmaps[:Tb // fmaps.shape[1]].reshape(-1, h8, w8, 128)
     fpyr = corr.build_feature_pyramid(fm)
-    update_op = UpdateModule(num_frames=P)
+    update_op = UpdateModule(num_frames=P, dtype=jnp.bfloat16)
 
     # gather per-edge device state into shard-major layout [S*Es, ...]
     sflat = slot_idx.reshape(-1)
@@ -869,7 +867,7 @@ def _lowmem_kernel_sharded(P, chunk, max_deg, mesh, Tb, params,
         # per-frame damping: whole-graph GraphAgg over this shard's
         # final hidden states, segment sums psum'd across shards
         eta_mean, has_frame = _agg_eta_from_nets(
-            GraphAgg(num_frames=P), params, net_new,
+            GraphAgg(num_frames=P, dtype=jnp.bfloat16), params, net_new,
             jnp.clip(ii_l - base, 0, P - 1), ok_e, P, axis=axis)
         damping_new = jnp.where(has_frame[:, None, None], eta_mean,
                                 damping_w)

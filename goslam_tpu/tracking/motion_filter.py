@@ -57,9 +57,11 @@ class MotionFilter:
         self.count = 0
         self._seen_first = False
 
-        self.fnet = BasicEncoder(128, "instance")
-        self.cnet = BasicEncoder(256, "none")
-        self.update = UpdateModule(num_frames=0)
+        # bf16 compute throughout (MXU-native; the reference runs this
+        # under fp16 AMP — motion_filter.py:26)
+        self.fnet = BasicEncoder(128, "instance", jnp.bfloat16)
+        self.cnet = BasicEncoder(256, "none", jnp.bfloat16)
+        self.update = UpdateModule(num_frames=0, dtype=jnp.bfloat16)
 
         # rolling last-keyframe context, device-resident
         h8, w8, rig = video.h8, video.w8, video.rig
