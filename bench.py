@@ -368,9 +368,15 @@ def main():
     def left():
         return budget - (time.time() - t_start)
 
-    # TPU executables cache fine across runs on the same host+libtpu;
-    # unlike the CPU AOT case this never crosses machines within a run.
-    cache = os.path.expanduser("~/.jax_cache")
+    # TPU executables cache fine across runs on the same libtpu; the
+    # cache lives IN the repo because the host filesystem is reset
+    # between rounds (~/.jax_cache was empty at round-5 start despite
+    # round 4 writing it) — a pre-warmed in-repo cache is what lets the
+    # driver-time run skip the ~335 s cold solver compile and reach the
+    # e2e-trigger stage.  On a libtpu/jax version skew the keys simply
+    # miss and this degrades to the round-4 cold-compile behavior.
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -261,6 +261,32 @@ def alt_corr_mxu(pyramid: "FeaturePyramid", coords: jnp.ndarray,
     return jnp.concatenate(out, axis=-1).reshape(E, h1, w1, -1)
 
 
+_ALT_CORR_MODE = os.environ.get("GOSLAM_CORR", "")
+
+
+def alt_corr_dispatch(pyramid: "FeaturePyramid", coords: jnp.ndarray,
+                      ii: jnp.ndarray, jj: jnp.ndarray,
+                      radius: int = RADIUS) -> jnp.ndarray:
+    """Runtime alt-corr entry point: picks the lowering per backend.
+
+    GOSLAM_CORR=fused selects the Pallas fused kernel
+    (ops/pallas_corr.alt_corr_fused: volume + window extraction +
+    bilinear combine per (edge, pixel-block) entirely in VMEM);
+    GOSLAM_CORR=mxu the XLA volume + VPU mask-reduce window path.
+    Resolved once at import for the same trace-staleness reason as
+    _GATHER_MODE.  Default: mxu everywhere (the fused kernel is
+    TPU-only; flip after benchmarking on real backend shapes).
+    """
+    mode = _ALT_CORR_MODE
+    if not mode:
+        mode = "mxu"
+    if mode == "fused" and jax.default_backend() == "tpu":
+        from .pallas_corr import alt_corr_fused
+        return alt_corr_fused(tuple(pyramid.levels), coords, ii, jj,
+                              radius=radius)
+    return alt_corr_mxu(pyramid, coords, ii, jj, radius=radius)
+
+
 # ---------------------------------------------------------------------------
 # memory-lean on-the-fly correlation (AltCorrBlock / altcorr_kernel.cu)
 # ---------------------------------------------------------------------------

@@ -37,10 +37,11 @@ tests/test_corr.py::test_alt_corr_fused_matches_alt_corr (interpreter)
 and tests/test_pallas_kernels.py::test_alt_corr_fused_mosaic_matches_alt_corr
 (compiled Mosaic, TPU-only slow tier).
 
-Not yet the runtime's default: factor_graph dispatches alt_corr_mxu
-(the gather-as-matmul XLA path, 11x faster than the original one-hot
-form after round-4 tuning); this kernel is the candidate replacement —
-benchmark fused-vs-mxu on real shapes before switching.
+Runtime wiring: factor_graph routes through corr.alt_corr_dispatch,
+which selects this kernel when GOSLAM_CORR=fused on a TPU backend and
+otherwise falls back to alt_corr_mxu (the gather-as-matmul XLA path,
+11x faster than the original one-hot form after round-4 tuning).
+The default stays mxu until fused wins an A/B on real backend shapes.
 """
 from __future__ import annotations
 

@@ -13,7 +13,7 @@ from copy import deepcopy
 import numpy as np
 
 from ..utils.greedy import greedy_nms_scan
-from .factor_graph import FactorGraph
+from .factor_graph import FactorGraph, _resolve_dtype
 from .video import VideoBuffer
 
 
@@ -41,6 +41,7 @@ class Backend:
         self.backend_loop_thresh = b["loop_thresh"]
         self.backend_loop_radius = b["loop_radius"]
         self.backend_loop_nms = b["loop_nms"]
+        self.compute_dtype = _resolve_dtype(t.get("compute_dtype"))
         self.last_loop_accepts = 0
         self.total_loop_accepts = 0
 
@@ -160,7 +161,8 @@ class Backend:
         graph = FactorGraph(self.video, self.params,
                             max_factors=max_factors, corr_impl="alt",
                             upsample=self.upsample, inac_capacity=-1,
-                            mesh=self.mesh)
+                            mesh=self.mesh,
+                            compute_dtype=self.compute_dtype)
         n_edges = self.ba(t_start, t_end, steps, graph, self.backend_nms,
                           self.backend_radius, self.backend_thresh,
                           max_factors, motion_only=motion_only)
@@ -177,7 +179,8 @@ class Backend:
         graph = FactorGraph(self.video, self.params,
                             max_factors=max_factors, corr_impl="alt",
                             upsample=self.upsample, inac_capacity=-1,
-                            mesh=self.mesh)
+                            mesh=self.mesh,
+                            compute_dtype=self.compute_dtype)
         if local_graph is not None:
             # copy the frontend's live edges (targets/weights/hidden state)
             sel = np.where(local_graph.valid)[0]

@@ -20,6 +20,7 @@ Two correlation backends, as in the reference:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -35,16 +36,39 @@ from .video import VideoBuffer
 EPS_DAMP = 1e-7
 MOTION_CLAMP = 64.0
 
+# Conv compute dtype for the runtime update/GRU kernels: bf16 by default
+# (MXU-native; faithful to the reference's fp16 AMP, motion_filter.py:26).
+# GOSLAM_BF16=0 or tracking.compute_dtype: float32 forces fp32.  bf16
+# conv outputs round differently under different XLA block tilings, so
+# bitwise-stable single-vs-sharded parity (tests/test_parallel.py — the
+# host greedy edge proposal amplifies ULP flips chaotically across BA
+# steps) requires fp32.  Read ONCE at import, like corr._GATHER_MODE.
+_DTYPE_DEFAULT = (jnp.float32 if os.environ.get("GOSLAM_BF16", "1") == "0"
+                  else jnp.bfloat16)
+
+
+def _resolve_dtype(name):
+    """'bfloat16' | 'float32' | None (None -> env/bf16 default)."""
+    if name is None:
+        return _DTYPE_DEFAULT
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[str(name)]
+
 
 class FactorGraph:
     def __init__(self, video: VideoBuffer, params, max_factors: int = 96,
                  corr_impl: str = "volume", upsample: bool = False,
-                 inac_capacity: int = 0, chunk: int = 256, mesh=None):
+                 inac_capacity: int = 0, chunk: int = 256, mesh=None,
+                 compute_dtype=None):
         self.video = video
         self.params = params
         self.max_factors = max_factors
         self.corr_impl = corr_impl
         self.upsample = upsample
+        # conv compute dtype (and hidden-slab storage dtype — fp32 mode
+        # must not round hidden states through bf16 between chunks, or
+        # the exact-parity guarantee dies at the same ULP boundaries)
+        self.cdt = (compute_dtype if compute_dtype is not None
+                    else _DTYPE_DEFAULT)
         # multi-device mesh: the low-memory path (global BA) shards its
         # edge work over it (SURVEY §2.8 target design)
         self.mesh = mesh if (mesh is not None
@@ -76,7 +100,7 @@ class FactorGraph:
         self.jj_bad: list = []
 
         # device state
-        self.net = jnp.zeros((cap, h8, w8, 128), jnp.bfloat16)
+        self.net = jnp.zeros((cap, h8, w8, 128), self.cdt)
         self.target = jnp.zeros((cap, h8, w8, 2), jnp.float32)
         self.weight = jnp.zeros((cap, h8, w8, 2), jnp.float32)
         self.target_inac = jnp.zeros((self.cap_inac, h8, w8, 2), jnp.float32)
@@ -355,7 +379,8 @@ class FactorGraph:
             jnp.asarray(self.ii_inac), jnp.asarray(self.jj_inac),
             jnp.asarray(inac_ok),
             self.target_inac, self.weight_inac,
-            base, t0, t1, iters, ba_lm, ba_ep, motion_only)
+            base, t0, t1, iters, ba_lm, ba_ep, motion_only,
+            cdt=self.cdt)
 
         (self.video.poses, self.video.disps, self.video.damping,
          self.video.disps_up, self.net, self.target, self.weight) = out
@@ -433,7 +458,8 @@ class FactorGraph:
             jnp.asarray(self.ii), jnp.asarray(self.jj),
             jnp.asarray(ii_r), jnp.asarray(jj_r),
             jnp.asarray(self.valid),
-            base, t0, t1, iters, lm, ep, motion_only, solver=solver)
+            base, t0, t1, iters, lm, ep, motion_only, solver=solver,
+            cdt=self.cdt)
         (self.video.poses, self.video.disps, self.video.damping,
          self.net, self.target, self.weight) = out
 
@@ -469,7 +495,7 @@ class FactorGraph:
             jnp.asarray(ii_sh), jnp.asarray(jj_sh),
             jnp.asarray(ii_rsh), jnp.asarray(jj_rsh),
             jnp.asarray(ok_sh), jnp.asarray(slot_idx),
-            base, t0, t1, iters, lm, ep)
+            base, t0, t1, iters, lm, ep, cdt=self.cdt)
         (self.video.poses, self.video.disps, self.video.damping,
          self.net, self.target, self.weight) = out
 
@@ -547,14 +573,16 @@ def _gru_chunk_scan(update_op, params, fpyr, inps_v, coords1, motion,
     (net_new, delta, w_new) at [nchunks*chunk, ...]."""
     resh = lambda a: a.reshape((nchunks, chunk) + a.shape[1:])
 
+    cdt = update_op.dtype or jnp.float32
+
     def body(_, ch):
         coords_ch, motion_ch, net_ch, ii_ch, iir_ch, jjr_ch = ch
-        corr_feat = corr.alt_corr_mxu(fpyr, coords_ch, iir_ch, jjr_ch)
+        corr_feat = corr.alt_corr_dispatch(fpyr, coords_ch, iir_ch, jjr_ch)
         net_c, delta_c, w_c = update_op.apply(
             {"params": params["update"]},
-            net_ch.astype(jnp.bfloat16), inps_v[ii_ch],
-            corr_feat.astype(jnp.bfloat16),
-            motion_ch.astype(jnp.bfloat16))
+            net_ch.astype(cdt), inps_v[ii_ch],
+            corr_feat.astype(cdt),
+            motion_ch.astype(cdt))
         w_c = w_c * jnp.asarray(_weight_calib(params), w_c.dtype)
         return None, (net_c, delta_c, w_c)
 
@@ -596,7 +624,7 @@ def _agg_eta_from_nets(agg_op, params, nets, ii_loc, valid, P, axis=None):
     for s0 in range(0, E, block):
         sl = slice(s0, min(s0 + block, E))
         ef = agg_op.apply({"params": params["update"]["agg"]},
-                          nets[sl].astype(jnp.bfloat16),
+                          nets[sl].astype(agg_op.dtype or jnp.float32),
                           method="edge_features").astype(jnp.float32)
         seg_sum = seg_sum.at[ii_loc[sl]].add(
             ef * okf[sl][:, None, None, None])
@@ -612,14 +640,16 @@ def _agg_eta_from_nets(agg_op, params, nets, ii_loc, valid, P, axis=None):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "P", "cap", "cap_inac", "upsample", "max_deg", "iters", "motion_only"))
+    "P", "cap", "cap_inac", "upsample", "max_deg", "iters", "motion_only",
+    "cdt"))
 def _update_kernel(P, cap, cap_inac, upsample, max_deg, params,
                    poses, disps, disps_sens, damping, disps_up, intrinsics,
                    inps_v,
                    net, target, weight, pyramid,
                    ii, jj, valid, ii_inac, jj_inac, inac_ok,
                    target_inac, weight_inac,
-                   base, t0, t1, iters, lm, ep, motion_only):
+                   base, t0, t1, iters, lm, ep, motion_only,
+                   cdt=jnp.bfloat16):
     """Fused: reproject -> motion -> corr lookup -> update op -> DBA."""
     h8, w8 = disps.shape[-2:]
 
@@ -634,11 +664,11 @@ def _update_kernel(P, cap, cap_inac, upsample, max_deg, params,
     ii_local = jnp.clip(ii_s - base, 0, P - 1)
     jj_local = jnp.clip(jj_s - base, 0, P - 1)
 
-    update_op = UpdateModule(num_frames=P, dtype=jnp.bfloat16)
+    update_op = UpdateModule(num_frames=P, dtype=cdt)
     net_new, delta, w_new, eta, upmask, has_edge = update_op.apply(
         {"params": params["update"]},
-        net.astype(jnp.bfloat16), inps_v[ii_s],
-        corr_feat.astype(jnp.bfloat16), motion.astype(jnp.bfloat16),
+        net.astype(cdt), inps_v[ii_s],
+        corr_feat.astype(cdt), motion.astype(cdt),
         ii_local, valid)
 
     vf = valid[:, None, None, None].astype(jnp.float32)
@@ -690,14 +720,14 @@ def _update_kernel(P, cap, cap_inac, upsample, max_deg, params,
 
 @functools.partial(jax.jit, static_argnames=(
     "P", "cap", "chunk", "nchunks", "max_deg", "Tb", "iters",
-    "motion_only", "solver"),
+    "motion_only", "solver", "cdt"),
     donate_argnums=(7, 8, 10, 14, 15, 16))
 def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, Tb, params,
                    poses, disps, disps_sens, damping, intrinsics, inps_v,
                    fmaps, net, target, weight,
                    ii, jj, ii_r, jj_r, valid,
                    base, t0, t1, iters, lm, ep, motion_only,
-                   solver="chol"):
+                   solver="chol", cdt=jnp.bfloat16):
     """One step of the low-memory path: alt-corr GRU over edge chunks,
     then full-window DBA (factor_graph.py:272-318).
 
@@ -722,8 +752,8 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, Tb, params,
     # tips HBM over at multi-thousand-keyframe scale)
     fm = fmaps[:Tb // fmaps.shape[1]].reshape(-1, h8, w8, 128)
     fpyr = corr.build_feature_pyramid(fm)
-    update_op = UpdateModule(num_frames=P, dtype=jnp.bfloat16)
-    agg_op = GraphAgg(num_frames=P, dtype=jnp.bfloat16)
+    update_op = UpdateModule(num_frames=P, dtype=cdt)
+    agg_op = GraphAgg(num_frames=P, dtype=cdt)
 
     def body(c, carry):
         net, target, weight = carry
@@ -738,12 +768,12 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, Tb, params,
         coords_ch, _ = projective.transform(poses, disps, intrinsics,
                                             ii_ch, jj_ch)
         motion_ch = _motion_features(coords_ch, tgt_ch, h8, w8)
-        corr_feat = corr.alt_corr_mxu(fpyr, coords_ch, iir_ch, jjr_ch)
+        corr_feat = corr.alt_corr_dispatch(fpyr, coords_ch, iir_ch, jjr_ch)
         net_c, delta_c, w_c = update_op.apply(
             {"params": params["update"]},
-            net_ch.astype(jnp.bfloat16), inps_v[ii_ch],
-            corr_feat.astype(jnp.bfloat16),
-            motion_ch.astype(jnp.bfloat16))
+            net_ch.astype(cdt), inps_v[ii_ch],
+            corr_feat.astype(cdt),
+            motion_ch.astype(cdt))
         okm = ok_ch[:, None, None, None]
         up = lambda a, v: jax.lax.dynamic_update_slice_in_dim(a, v, c0, 0)
         net = up(net, jnp.where(okm, net_c.astype(net.dtype), net_ch))
@@ -785,12 +815,12 @@ def _lowmem_kernel(P, cap, chunk, nchunks, max_deg, Tb, params,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "P", "chunk", "max_deg", "mesh", "Tb", "iters"))
+    "P", "chunk", "max_deg", "mesh", "Tb", "iters", "cdt"))
 def _lowmem_kernel_sharded(P, chunk, max_deg, mesh, Tb, params,
                            poses, disps, disps_sens, damping, intrinsics,
                            inps_v, fmaps, net, target, weight,
                            ii_sh, jj_sh, ii_rsh, jj_rsh, ok_sh, slot_idx,
-                           base, t0, t1, iters, lm, ep):
+                           base, t0, t1, iters, lm, ep, cdt=jnp.bfloat16):
     """Sharded low-memory step (new capability vs the single-GPU
     reference): edges live in [S, Es] shard blocks partitioned by source
     frame; each device runs alt-corr + chunked GRU on its own edge block,
@@ -815,7 +845,7 @@ def _lowmem_kernel_sharded(P, chunk, max_deg, mesh, Tb, params,
 
     fm = fmaps[:Tb // fmaps.shape[1]].reshape(-1, h8, w8, 128)
     fpyr = corr.build_feature_pyramid(fm)
-    update_op = UpdateModule(num_frames=P, dtype=jnp.bfloat16)
+    update_op = UpdateModule(num_frames=P, dtype=cdt)
 
     # gather per-edge device state into shard-major layout [S*Es, ...]
     sflat = slot_idx.reshape(-1)
@@ -867,7 +897,7 @@ def _lowmem_kernel_sharded(P, chunk, max_deg, mesh, Tb, params,
         # per-frame damping: whole-graph GraphAgg over this shard's
         # final hidden states, segment sums psum'd across shards
         eta_mean, has_frame = _agg_eta_from_nets(
-            GraphAgg(num_frames=P, dtype=jnp.bfloat16), params, net_new,
+            GraphAgg(num_frames=P, dtype=cdt), params, net_new,
             jnp.clip(ii_l - base, 0, P - 1), ok_e, P, axis=axis)
         damping_new = jnp.where(has_frame[:, None, None], eta_mean,
                                 damping_w)

@@ -19,7 +19,7 @@ import functools
 import jax
 
 from ..utils import rowops
-from .factor_graph import FactorGraph
+from .factor_graph import FactorGraph, _resolve_dtype
 from .video import VideoBuffer
 
 
@@ -72,7 +72,8 @@ class Frontend:
         self.graph = FactorGraph(
             video, params, max_factors=f["max_factors"],
             corr_impl="volume", upsample=t.get("upsample", False),
-            inac_capacity=2 * f["max_factors"])
+            inac_capacity=2 * f["max_factors"],
+            compute_dtype=_resolve_dtype(t.get("compute_dtype")))
 
         self.t0 = 0
         self.t1 = 0

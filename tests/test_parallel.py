@@ -238,6 +238,14 @@ def test_slam_system_sharded_global_ba_matches_single(rng, tmp_path):
     from goslam_tpu.system import init_params
 
     cfg = _tracking_cfg()
+    # fp32 conv compute: bf16 conv outputs round differently under the
+    # different XLA block tilings of the sharded vs single-device paths;
+    # those ULP flips are amplified chaotically by the host greedy edge
+    # proposal between BA steps (verified: identical logic passes at
+    # atol=1e-4 in fp32, diverges to ~0.4 in bf16).  The production bf16
+    # path's end-to-end quality is gated by tests/test_accuracy.py; this
+    # test pins fp32 to check the SHARDING logic exactly.
+    cfg["tracking"]["compute_dtype"] = "float32"
     params = init_params(ht=64, wd=96)
 
     slam_a = _run_tracking(cfg, params, str(tmp_path / "a"), mesh_on=False)
